@@ -1,0 +1,155 @@
+"""Datasets: file-list handling and raw segment sampling.
+
+Mirrors the reference's data layer semantics (data/audio_dataset.py):
+  * train: CSV index or directory walk; per-item random segment crop with a
+    cached length probe; skip-to-next on decode failure (:34-65, 84-100)
+  * test: ONE file loaded whole, DC-shifted by ``1e-4 - mean``, unfolded into
+    overlapping segments (:113-177)
+
+The hot difference from the reference: the host only DECODES.  All resampling
+/ degradation / noise runs on-device (see pipeline.py), so the host work per
+segment is one pread + int16->float32 conversion.
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from mdctgan_tpu.data import native
+
+AUDIO_EXTS = (".wav", ".mp3", ".flac")
+
+
+def list_audio_files(path: str, max_files: Optional[int] = None) -> List[str]:
+    """CSV index (one path per cell, relative to the CSV's directory) or
+    recursive directory walk (audio_dataset.py:84-100)."""
+    if os.path.isdir(path):
+        files = []
+        for root, _, names in os.walk(path):
+            for name in sorted(names):
+                if os.path.splitext(name)[1].lower() in AUDIO_EXTS:
+                    files.append(os.path.join(root, name))
+        files.sort()
+    else:
+        root = os.path.dirname(path)
+        with open(path, "r") as f:
+            files = [
+                os.path.join(root, item)
+                for row in csv.reader(f)
+                for item in row
+                if item
+            ]
+    if max_files is not None:
+        files = files[: int(max_files)]
+    if not files:
+        raise FileNotFoundError(f"no audio files found under {path}")
+    return files
+
+
+class AudioDataset:
+    """Random-crop training dataset over a file list.
+
+    ``sample()`` returns (segment[segment_length] float32 at the file's
+    native rate, sample_rate).  Like the reference (audio_dataset.py:43-52),
+    it reads ``segment_length`` frames at the ORIGINAL rate from a random
+    offset (the segment is later resampled on-device).
+    """
+
+    def __init__(
+        self,
+        index_path: str,
+        segment_length: int,
+        seed: int = 42,
+        max_files: Optional[int] = None,
+    ):
+        self.files = list_audio_files(index_path, max_files)
+        self.segment_length = int(segment_length)
+        self._len_cache: dict = {}
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self) -> int:
+        return len(self.files)
+
+    def _probe(self, idx: int) -> Tuple[int, int]:
+        if idx not in self._len_cache:
+            sr, _, nframes = native.info(self.files[idx])
+            self._len_cache[idx] = (sr, nframes)
+        return self._len_cache[idx]
+
+    def sample(self, idx: Optional[int] = None) -> Tuple[np.ndarray, int]:
+        if idx is None:
+            idx = int(self._rng.integers(0, len(self.files)))
+        for attempt in range(len(self.files)):
+            j = (idx + attempt) % len(self.files)
+            try:
+                sr, nframes = self._probe(j)
+                max_start = nframes - self.segment_length
+                off = int(self._rng.integers(0, max_start)) if max_start > 0 else 0
+                data, sr = native.read(self.files[j], off, self.segment_length)
+                return data, sr
+            except Exception:
+                # skip unreadable files, try the next (audio_dataset.py:56-65)
+                continue
+        raise RuntimeError("no decodable audio files in dataset")
+
+    def sample_batch(self, batch_size: int) -> Tuple[np.ndarray, int]:
+        """Stack a batch; all VCTK files share one rate — assert homogeneous."""
+        segs, rates = zip(*(self.sample() for _ in range(batch_size)))
+        if len(set(rates)) != 1:
+            raise ValueError(f"mixed sample rates in batch: {set(rates)}")
+        return np.stack(segs), rates[0]
+
+
+class AudioTestDataset:
+    """One file -> DC shift -> overlapped fixed-length segments
+    (audio_dataset.py:113-177)."""
+
+    def __init__(
+        self,
+        path: str,
+        segment_length: int,
+        overlap: int = 0,
+    ):
+        self.segment_length = int(segment_length)
+        self.overlap = int(overlap)
+        raw, sr = native.read(path)
+        self.in_sampling_rate = sr
+        raw = raw.astype(np.float32)
+        self.raw_audio = raw + (1e-4 - raw.mean())  # DC shift (:146)
+        self.audio_len = len(self.raw_audio)
+
+    def segments_of(self, audio: np.ndarray) -> np.ndarray:
+        """Unfold into (n_segments, segment_length) with the reference's
+        padding (audio_dataset.py:153-167)."""
+        seg, ov = self.segment_length, self.overlap
+        length = len(audio)
+        if length >= seg:
+            n = int(np.ceil(length / seg))
+            padded = np.pad(audio, (ov, seg * n - length + ov))
+            stride = seg - ov
+            count = (len(padded) - seg) // stride + 1
+            idx = np.arange(count)[:, None] * stride + np.arange(seg)[None, :]
+            return padded[idx]
+        return np.pad(audio, (0, seg - length))[None, :]
+
+
+def overlap_add_segments(
+    segments: np.ndarray, segment_length: int, overlap: int
+) -> np.ndarray:
+    """Stitch generated segments back together with edge-halving overlap-add
+    (generate_audio.py:40-51); identity concat when overlap == 0."""
+    if overlap == 0:
+        return segments.reshape(-1)
+    seg = segments.copy()
+    seg[..., :overlap] *= 0.5
+    seg[..., -overlap:] *= 0.5
+    stride = segment_length - overlap
+    n = seg.shape[0]
+    out = np.zeros((n - 1) * stride + segment_length, seg.dtype)
+    for i in range(n):
+        out[i * stride : i * stride + segment_length] += seg[i]
+    return out[overlap:-overlap]

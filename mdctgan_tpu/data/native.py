@@ -1,0 +1,212 @@
+"""ctypes bindings for the native audioio library (native/audioio).
+
+Replaces the reference's torchaudio sox_io host decode path
+(data/audio_dataset.py:9,34-52).  Falls back to a pure-Python WAV reader
+(scipy-free, stdlib ``wave`` + numpy) when the shared library isn't built, so
+tests never require the native toolchain.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import wave
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+_LIB_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native", "audioio")
+_LIB_PATH = os.path.abspath(os.path.join(_LIB_DIR, "libaudioio.so"))
+
+_lib: Optional[ctypes.CDLL] = None
+
+
+def _try_build() -> None:
+    try:
+        subprocess.run(
+            ["make", "-s"], cwd=os.path.abspath(_LIB_DIR), check=True,
+            capture_output=True, timeout=120,
+        )
+    except Exception:
+        pass
+
+
+def load_library(build_if_missing: bool = True) -> Optional[ctypes.CDLL]:
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH) and build_if_missing:
+        _try_build()
+    if not os.path.exists(_LIB_PATH):
+        return None
+    lib = ctypes.CDLL(_LIB_PATH)
+    lib.audioio_info.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_uint32),
+        ctypes.POINTER(ctypes.c_uint32),
+        ctypes.POINTER(ctypes.c_uint64),
+    ]
+    lib.audioio_info.restype = ctypes.c_int
+    lib.audioio_read.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_uint64,
+        ctypes.c_uint64,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_uint32),
+    ]
+    lib.audioio_read.restype = ctypes.c_int
+    lib.audioio_write_wav16.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_uint64,
+        ctypes.c_uint32,
+    ]
+    lib.audioio_write_wav16.restype = ctypes.c_int
+    lib.audioio_prefetcher_create.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p),
+        ctypes.c_uint64,
+        ctypes.c_uint64,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_uint64,
+    ]
+    lib.audioio_prefetcher_create.restype = ctypes.c_void_p
+    lib.audioio_prefetcher_next.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_uint32),
+    ]
+    lib.audioio_prefetcher_next.restype = ctypes.c_int
+    lib.audioio_prefetcher_destroy.argtypes = [ctypes.c_void_p]
+    lib.audioio_prefetcher_destroy.restype = None
+    _lib = lib
+    return lib
+
+
+# --------------------------------------------------------------------------
+# Pure-Python fallback (16/24/32-bit PCM WAV via stdlib `wave`)
+# --------------------------------------------------------------------------
+
+def _py_info(path: str) -> Tuple[int, int, int]:
+    with wave.open(path, "rb") as w:
+        return w.getframerate(), w.getnchannels(), w.getnframes()
+
+
+def _py_read(path: str, offset: int, frames: int) -> Tuple[np.ndarray, int]:
+    with wave.open(path, "rb") as w:
+        sr, ch, total = w.getframerate(), w.getnchannels(), w.getnframes()
+        sw = w.getsampwidth()
+        w.setpos(min(offset, total))
+        raw = w.readframes(min(frames, total - min(offset, total)))
+    if sw == 2:
+        data = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    elif sw == 4:
+        data = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
+    elif sw == 3:
+        b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
+        v = (
+            b[:, 0].astype(np.int32)
+            | (b[:, 1].astype(np.int32) << 8)
+            | (b[:, 2].astype(np.int32) << 16)
+        )
+        v = np.where(v >= 1 << 23, v - (1 << 24), v)
+        data = v.astype(np.float32) / 8388608.0
+    else:
+        raise ValueError(f"unsupported sample width {sw}")
+    data = data.reshape(-1, ch)[:, 0]  # mono channel 0 (audio_dataset.py:104)
+    if len(data) < frames:
+        data = np.pad(data, (0, frames - len(data)))
+    return data, sr
+
+
+# --------------------------------------------------------------------------
+# Public API
+# --------------------------------------------------------------------------
+
+def info(path: str) -> Tuple[int, int, int]:
+    """(sample_rate, channels, num_frames)."""
+    lib = load_library()
+    if lib is not None:
+        sr = ctypes.c_uint32()
+        ch = ctypes.c_uint32()
+        nf = ctypes.c_uint64()
+        if lib.audioio_info(path.encode(), sr, ch, nf) == 0:
+            return sr.value, ch.value, nf.value
+    return _py_info(path)
+
+
+def read(path: str, offset: int = 0, frames: Optional[int] = None) -> Tuple[np.ndarray, int]:
+    """Mono float32 samples + sample rate; zero-pads past EOF."""
+    if frames is None:
+        _, _, total = info(path)
+        frames = total - offset
+    lib = load_library()
+    if lib is not None:
+        out = np.empty(frames, np.float32)
+        sr = ctypes.c_uint32()
+        rc = lib.audioio_read(
+            path.encode(), offset, frames,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), sr,
+        )
+        if rc == 0:
+            return out, sr.value
+    return _py_read(path, offset, frames)
+
+
+def write_wav16(path: str, data: np.ndarray, sample_rate: int) -> None:
+    data = np.ascontiguousarray(data, np.float32).ravel()
+    lib = load_library()
+    if lib is not None:
+        rc = lib.audioio_write_wav16(
+            path.encode(),
+            data.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            len(data), sample_rate,
+        )
+        if rc == 0:
+            return
+    pcm = (np.clip(data, -1, 1) * 32767.0).astype("<i2")
+    with wave.open(path, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(pcm.tobytes())
+
+
+class NativePrefetcher:
+    """Multi-threaded C++ segment prefetcher (random file + random offset)."""
+
+    def __init__(self, files: List[str], segment_frames: int,
+                 n_threads: int = 2, queue_cap: int = 64, seed: int = 0):
+        lib = load_library()
+        if lib is None:
+            raise RuntimeError("native audioio library unavailable")
+        self._lib = lib
+        self.segment_frames = segment_frames
+        arr = (ctypes.c_char_p * len(files))(*[f.encode() for f in files])
+        self._handle = lib.audioio_prefetcher_create(
+            arr, len(files), segment_frames, n_threads, queue_cap, seed
+        )
+        if not self._handle:
+            raise RuntimeError("failed to create prefetcher")
+
+    def next(self) -> Tuple[np.ndarray, int]:
+        out = np.empty(self.segment_frames, np.float32)
+        sr = ctypes.c_uint32()
+        rc = self._lib.audioio_prefetcher_next(
+            self._handle, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), sr
+        )
+        if rc != 0:
+            raise StopIteration
+        return out, sr.value
+
+    def close(self) -> None:
+        if getattr(self, "_handle", None):
+            self._lib.audioio_prefetcher_destroy(self._handle)
+            self._handle = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

@@ -1,0 +1,137 @@
+"""Host->device input pipeline with on-device degradation.
+
+The reference decodes AND resamples on the host in DataLoader workers
+(data/audio_dataset.py:66-78, custom_dataset_data_loader.py:38-51).  Here the
+host path is decode-only (native C++ prefetcher when available, Python
+fallback otherwise); the degradation — orig->hr resample, orig->lr->hr
+down-up simulation, SNR noise — is a single jitted on-device function, and a
+background thread keeps a bounded queue of device-resident batches so the
+train step never waits on input (double buffering).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mdctgan_tpu.data import native
+from mdctgan_tpu.data.dataset import AudioDataset
+from mdctgan_tpu.ops.features import SpectralConfig
+from mdctgan_tpu.ops.resample import add_noise_snr, degrade_lr, fix_length, resample
+
+
+def make_degrade_fn(cfg: SpectralConfig, orig_freq: int, add_noise: bool, snr: float):
+    """Jitted (segments at orig rate, rng) -> {'lr_audio','hr_audio'} at HR
+    rate, both fixed to segment_length (audio_dataset.py:66-82)."""
+
+    @jax.jit
+    def degrade(wave: jax.Array, rng: jax.Array) -> Dict[str, jax.Array]:
+        hr = resample(wave, orig_freq, cfg.hr_sampling_rate)
+        lr = degrade_lr(wave, orig_freq, cfg.lr_sampling_rate, cfg.hr_sampling_rate)
+        if add_noise:
+            lr = add_noise_snr(lr, rng, snr, cfg.segment_length)
+        return {
+            "hr_audio": fix_length(hr, cfg.segment_length),
+            "lr_audio": fix_length(lr, cfg.segment_length),
+        }
+
+    return degrade
+
+
+class InputPipeline:
+    """Background-threaded batch producer.
+
+    Decoding happens in C++ worker threads (no GIL) when the native library
+    is built; the Python thread only assembles batches, ships them to the
+    device (optionally sharded over a mesh) and runs the jitted degradation.
+    """
+
+    def __init__(
+        self,
+        dataset: AudioDataset,
+        cfg: SpectralConfig,
+        batch_size: int,
+        orig_freq: Optional[int] = None,
+        add_noise: bool = False,
+        snr: float = 55.0,
+        seed: int = 42,
+        queue_size: int = 4,
+        sharding=None,
+        n_threads: int = 4,
+    ):
+        self.dataset = dataset
+        self.cfg = cfg
+        self.batch_size = batch_size
+        self.sharding = sharding
+        if orig_freq is None:
+            orig_freq, _ = dataset._probe(0)
+        self.orig_freq = orig_freq
+        self._degrade = make_degrade_fn(cfg, orig_freq, add_noise, snr)
+        self._rng = jax.random.PRNGKey(seed)
+        self._queue: "queue.Queue" = queue.Queue(maxsize=queue_size)
+        self._stop = threading.Event()
+        self._prefetcher = None
+        if native.load_library() is not None:
+            try:
+                self._prefetcher = native.NativePrefetcher(
+                    dataset.files, dataset.segment_length,
+                    n_threads=n_threads, queue_cap=queue_size * batch_size,
+                    seed=seed,
+                )
+            except Exception:
+                self._prefetcher = None
+        self._thread = threading.Thread(target=self._work, daemon=True)
+        self._thread.start()
+
+    def _host_batch(self) -> np.ndarray:
+        if self._prefetcher is not None:
+            segs = [self._prefetcher.next()[0] for _ in range(self.batch_size)]
+            return np.stack(segs)
+        return self.dataset.sample_batch(self.batch_size)[0]
+
+    def _work(self) -> None:
+        while not self._stop.is_set():
+            try:
+                host = self._host_batch()
+            except StopIteration:
+                break
+            wave = jnp.asarray(host)
+            if self.sharding is not None:
+                wave = jax.device_put(wave, self.sharding)
+            self._rng, sub = jax.random.split(self._rng)
+            batch = self._degrade(wave, sub)
+            while not self._stop.is_set():
+                try:
+                    self._queue.put(batch, timeout=0.5)
+                    break
+                except queue.Full:
+                    continue
+
+    def __iter__(self) -> Iterator[Dict[str, jax.Array]]:
+        return self
+
+    def __next__(self) -> Dict[str, jax.Array]:
+        while True:
+            if self._stop.is_set() and self._queue.empty():
+                raise StopIteration
+            try:
+                return self._queue.get(timeout=1.0)
+            except queue.Empty:
+                if not self._thread.is_alive():
+                    raise StopIteration
+
+    def close(self) -> None:
+        self._stop.set()
+        try:
+            while True:
+                self._queue.get_nowait()
+        except queue.Empty:
+            pass
+        self._thread.join(timeout=5)
+        if self._prefetcher is not None:
+            self._prefetcher.close()

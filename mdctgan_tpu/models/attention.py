@@ -1,0 +1,169 @@
+"""Bottleneck-transformer attention stack (Flax, NHWC).
+
+Functional re-implementation of the pinned external dependency
+``bottleneck_transformer_pytorch==0.1.4`` (reference requirements.txt:1),
+instantiated inside both generators (reference networks.py:338-344 global,
+networks.py:218-237 local enhancer) with ``downsample=False`` and
+``rel_pos_emb=False``.  Semantics reproduced for checkpoint-import parity:
+
+Each ``BottleBlock`` (BotNet, Srinivas et al. 2021):
+    shortcut = Identity                       (dim == dim_out, no downsample)
+    net      = Conv1x1(dim -> dim_out/proj_factor, no bias) -> BN -> act
+               -> MHSA-2D (q scaled by dim_head**-0.5, absolute 2-D factored
+                  positional embeddings added to the logits)
+               -> BN -> act
+               -> Conv1x1(heads*dim_head -> dim_out, no bias) -> BN
+    out      = act(net(x) + shortcut(x))
+
+A ``BottleStack`` of ``num_layers`` chains blocks; with ``downsample=False``
+only the first block changes width (dim -> dim_out).
+
+The 2-D attention runs over the whole (tiny) feature map — 8x16 = 128 tokens
+for the shipped config — so plain XLA einsum attention saturates the MXU; no
+flash-attention kernel is warranted at this size.
+
+BatchNorm uses running stats (torch momentum 0.1 == flax momentum 0.9).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from mdctgan_tpu.models.layers import conv_init
+
+Array = jax.Array
+
+
+class AbsPosEmb2D(nn.Module):
+    """Factored absolute positional embedding: logits[i, j] = q_i . (h + w)_j."""
+
+    fmap_size: Tuple[int, int]
+    dim_head: int
+
+    @nn.compact
+    def __call__(self, q: Array) -> Array:
+        h, w = self.fmap_size
+        scale = self.dim_head ** -0.5
+        emb_h = self.param(
+            "height", nn.initializers.normal(stddev=scale), (h, self.dim_head)
+        )
+        emb_w = self.param(
+            "width", nn.initializers.normal(stddev=scale), (w, self.dim_head)
+        )
+        emb = (emb_h[:, None, :] + emb_w[None, :, :]).reshape(h * w, self.dim_head)
+        return jnp.einsum("bhid,jd->bhij", q, emb)
+
+
+class Attention2D(nn.Module):
+    """Multi-head self-attention over an NHWC feature map."""
+
+    fmap_size: Tuple[int, int]
+    heads: int = 4
+    dim_head: int = 128
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        b, h, w, _ = x.shape
+        heads, dh = self.heads, self.dim_head
+        inner = heads * dh
+        qkv = nn.Conv(
+            inner * 3, (1, 1), use_bias=False, kernel_init=conv_init(), name="to_qkv"
+        )(x)
+        qkv = qkv.reshape(b, h * w, 3, heads, dh)
+        q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))  # b,hd,n,d
+        q = q * (dh ** -0.5)
+        sim = jnp.einsum("bhid,bhjd->bhij", q, k)
+        sim = sim + AbsPosEmb2D(self.fmap_size, dh, name="pos_emb")(q)
+        attn = jax.nn.softmax(sim, axis=-1)
+        out = jnp.einsum("bhij,bhjd->bhid", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(b, h, w, inner)
+        return out
+
+
+class BatchNorm(nn.Module):
+    """BatchNorm2d twin (momentum 0.1 torch == 0.9 flax, eps 1e-5) with the
+    reference's post-construction N(1, 0.02) weight init (networks.py:17-19 —
+    weights_init overwrites BotNet's zero-gamma init)."""
+
+    use_running_average: bool = False
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        def scale_init(key, shape, dtype=jnp.float32):
+            # torch weights_init: BN weight ~ N(1.0, 0.02), bias = 0.
+            return 1.0 + jax.random.normal(key, shape, dtype) * 0.02
+
+        return nn.BatchNorm(
+            use_running_average=self.use_running_average,
+            momentum=0.9,
+            epsilon=1e-5,
+            scale_init=scale_init,
+            name="bn",
+        )(x)
+
+
+class BottleBlock(nn.Module):
+    dim_out: int
+    fmap_size: Tuple[int, int]
+    proj_factor: int = 4
+    heads: int = 4
+    dim_head: int = 128
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = True) -> Array:
+        shortcut = x
+        if x.shape[-1] != self.dim_out:
+            # BotNet shortcut for dim change without downsample: 1x1 conv path
+            # (kernel 1 stride 1 since downsample=False), conv->BN->act.
+            s = nn.Conv(
+                self.dim_out, (1, 1), use_bias=False, kernel_init=conv_init(),
+                name="shortcut_conv",
+            )(x)
+            s = BatchNorm(not train, name="shortcut_bn")(s)
+            shortcut = nn.relu(s)
+        attn_dim_in = self.dim_out // self.proj_factor
+        h = nn.Conv(
+            attn_dim_in, (1, 1), use_bias=False, kernel_init=conv_init(), name="proj_in"
+        )(x)
+        h = BatchNorm(not train, name="bn1")(h)
+        h = nn.relu(h)
+        h = Attention2D(self.fmap_size, self.heads, self.dim_head, name="attn")(h)
+        h = BatchNorm(not train, name="bn2")(h)
+        h = nn.relu(h)
+        h = nn.Conv(
+            self.dim_out, (1, 1), use_bias=False, kernel_init=conv_init(), name="proj_out"
+        )(h)
+        h = BatchNorm(not train, name="bn3")(h)
+        return nn.relu(h + shortcut)
+
+
+class BottleStack(nn.Module):
+    """Stack of BottleBlocks; first block maps dim -> dim_out, rest keep width.
+
+    Matches the reference instantiation ``BottleStack(dim, fmap_size, dim_out,
+    num_layers, proj_factor, downsample=False, heads, dim_head, rel_pos_emb=
+    False)`` (networks.py:342-343, 233-234)."""
+
+    dim_out: int
+    fmap_size: Tuple[int, int]
+    num_layers: int = 3
+    proj_factor: int = 4
+    heads: int = 4
+    dim_head: int = 128
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = True) -> Array:
+        for i in range(self.num_layers):
+            x = BottleBlock(
+                self.dim_out,
+                self.fmap_size,
+                self.proj_factor,
+                self.heads,
+                self.dim_head,
+                name=f"block{i}",
+            )(x, train=train)
+        return x

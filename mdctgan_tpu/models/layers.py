@@ -1,0 +1,161 @@
+"""Building-block layers (Flax, NHWC).
+
+TPU-first notes: everything is NHWC (the TPU-native conv layout; the torch
+reference is NCHW), instance norm is a stateless function (the reference uses
+``InstanceNorm2d(affine=False)`` — no parameters, networks.py:26), and all
+shapes are static under jit.
+
+Reference blocks: ResnetBlock (networks.py:421-463), ConvResBlock
+(networks.py:403-417), InterpolateUpsample (networks.py:375-400).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+def instance_norm(x: Array, eps: float = 1e-5) -> Array:
+    """InstanceNorm2d(affine=False): normalize each (sample, channel) over HW."""
+    mean = jnp.mean(x, axis=(1, 2), keepdims=True)
+    var = jnp.var(x, axis=(1, 2), keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps)
+
+
+def reflect_pad(x: Array, pad: int) -> Array:
+    return jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect")
+
+
+def leaky_relu(x: Array, slope: float = 0.2) -> Array:
+    return jnp.where(x >= 0, x, slope * x)
+
+
+def avg_pool_3x3_s2(x: Array) -> Array:
+    """AvgPool2d(3, stride=2, padding=1, count_include_pad=False), the pyramid
+    downsampler used by both G and D (networks.py:249-250, 525-526)."""
+    ones = jnp.ones(x.shape[:3] + (1,), x.dtype)
+    sum_ = jax.lax.reduce_window(
+        x, 0.0, jax.lax.add, (1, 3, 3, 1), (1, 2, 2, 1), [(0, 0), (1, 1), (1, 1), (0, 0)]
+    )
+    count = jax.lax.reduce_window(
+        ones, 0.0, jax.lax.add, (1, 3, 3, 1), (1, 2, 2, 1), [(0, 0), (1, 1), (1, 1), (0, 0)]
+    )
+    return sum_ / count
+
+
+def upsample_nearest_2x(x: Array) -> Array:
+    b, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+    return x.reshape(b, 2 * h, 2 * w, c)
+
+
+def conv_init() -> Callable:
+    """N(0, 0.02) conv-weight init, matching weights_init (networks.py:13-16)."""
+    return nn.initializers.normal(stddev=0.02)
+
+
+class Conv(nn.Module):
+    """Plain conv2d with explicit symmetric zero padding (torch-style)."""
+
+    features: int
+    kernel: int
+    stride: int = 1
+    padding: int = 0
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        return nn.Conv(
+            self.features,
+            (self.kernel, self.kernel),
+            strides=(self.stride, self.stride),
+            padding=((self.padding, self.padding), (self.padding, self.padding)),
+            use_bias=self.use_bias,
+            kernel_init=conv_init(),
+            name="conv",
+        )(x)
+
+
+class ConvTransposed(nn.Module):
+    """torch ConvTranspose2d(k=3, s=2, p=1, output_padding=1) equivalent:
+    doubles H and W."""
+
+    features: int
+    kernel: int = 3
+    stride: int = 2
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        # torch output size: (H-1)*s - 2*p + k + op; for k3 s2 p1 op1 -> 2H.
+        # lax.conv_transpose with padding ((lo, hi)) where lo = k-1-p,
+        # hi = k-1-p+op reproduces it.
+        k, s = self.kernel, self.stride
+        p, op = 1, 1
+        pad = (k - 1 - p, k - 1 - p + op)
+        y = nn.ConvTranspose(
+            self.features,
+            (k, k),
+            strides=(s, s),
+            padding=(pad, pad),
+            use_bias=True,
+            kernel_init=conv_init(),
+            transpose_kernel=True,
+            name="conv",
+        )(x)
+        return y
+
+
+class ResnetBlock(nn.Module):
+    """Reflect-padded 3x3 conv resblock (networks.py:421-463):
+    x + IN(conv(relu(IN(conv(pad(x)))))) with affine-free instance norm."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        h = reflect_pad(x, 1)
+        h = Conv(self.dim, 3, name="conv1")(h)
+        h = nn.relu(instance_norm(h))
+        h = reflect_pad(h, 1)
+        h = Conv(self.dim, 3, name="conv2")(h)
+        h = instance_norm(h)
+        return x + h
+
+
+class ConvResBlock(nn.Module):
+    """Downsample block (networks.py:403-417): strided conv -> {5x5 conv,
+    3x3 res conv} -> sum."""
+
+    in_features: int
+    out_features: int
+    kernel: int = 3
+    stride: int = 2
+    padding: int = 1
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        x = Conv(self.in_features, self.kernel, self.stride, self.padding, name="conv1")(x)
+        res = Conv(self.out_features, 3, 1, 1, name="conv_res")(x)
+        x = Conv(self.out_features, 5, 1, 2, name="conv2")(x)
+        return x + res
+
+
+class InterpolateUpsample(nn.Module):
+    """Nearest-2x upsample + conv pair with conv residual (networks.py:375-400).
+    conv1 is 5x5 pad 1 (shrinks by 2), conv2 is 3x3 pad 2 (grows by 2)."""
+
+    in_features: int
+    out_features: int
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        x = upsample_nearest_2x(x)
+        res = Conv(self.out_features, 3, 1, 1, name="conv_res")(x)
+        x = Conv(self.out_features, 5, 1, 1, name="conv1")(x)
+        x = Conv(self.out_features, 3, 1, 2, name="conv2")(x)
+        return x + res

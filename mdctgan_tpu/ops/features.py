@@ -1,0 +1,252 @@
+"""Waveform <-> normalized MDCT-spectrogram "image" feature pipeline.
+
+TPU-native, stateless re-design of the reference ``Audio2MDCT`` preprocessor
+(reference: models/pix2pixHD_model.py:14-200).  Everything here is a pure
+function of (config, arrays, PRNG key) so the whole pipeline lives inside the
+jitted train step — no host round trips, no module state.
+
+Normalization modes (pix2pixHD_model.py:83-125):
+  * ``arcsinh``  — asinh(gain*x)/ln(10)   (the shipped config, train.sh)
+  * ``explicit`` — dual-channel +/- dB encoding with mixing factor alpha
+  * ``raw``      — identity
+  * ``db``       — 20*log10(|x| + min_value) (amplitude_to_DB with amin)
+followed by an affine map from [min, max] (per-sample or the fixed
+``src_range`` when ``abs_norm``) onto ``norm_range``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mdctgan_tpu.ops.mdct import MDCT, IMDCT
+
+Array = jax.Array
+_LN10 = float(np.log(10.0))
+
+
+@dataclasses.dataclass(frozen=True)
+class SpectralConfig:
+    """Static configuration of the waveform<->spectrogram transform.
+
+    Field names track the reference CLI flags (options/base_options.py,
+    options/train_options.py) so configs translate one-to-one.
+    """
+
+    n_fft: int = 512
+    hop_length: int = 256
+    win_length: int = 512
+    center: bool = True
+    lr_sampling_rate: int = 16000
+    hr_sampling_rate: int = 48000
+    sr_sampling_rate: int = 48000
+    segment_length: int = 32512
+    # normalization
+    arcsinh_transform: bool = True
+    arcsinh_gain: float = 1000.0
+    explicit_encoding: bool = False
+    alpha: float = 0.6
+    raw_mdct: bool = False
+    abs_norm: bool = True
+    src_range: Tuple[float, float] = (-5.0, 5.0)
+    norm_range: Tuple[float, float] = (-1.0, 1.0)
+    min_value: float = 1e-7
+    # masking / residual
+    mask: bool = False
+    mask_hr: bool = False
+    fit_residual: bool = True
+    abs_spectro: bool = True
+
+    @property
+    def up_ratio(self) -> float:
+        return self.hr_sampling_rate / self.lr_sampling_rate
+
+    @property
+    def n_bins(self) -> int:
+        """Time bins for a fixed segment (128 for the default geometry)."""
+        t = self.segment_length
+        start = self.hop_length if self.center else 0
+        total = t + 2 * start + (-t) % self.hop_length
+        return (total - self.win_length) // self.hop_length + 1
+
+    @property
+    def lr_mask_size(self) -> int:
+        """High-frequency columns to mask on the LR spectrogram
+        (pix2pixHD_model.py:60-61)."""
+        return int((self.n_fft // 2) * (1 - 1 / self.up_ratio))
+
+    @property
+    def hr_mask_size(self) -> int:
+        """Mask size used by hr_forward (pix2pixHD_model.py:197-198)."""
+        return int(self.n_fft * (1 - self.sr_sampling_rate / self.hr_sampling_rate) // 2)
+
+
+def amplitude_to_db(x: Array, amin: float) -> Array:
+    """torchaudio.functional.amplitude_to_DB with multiplier=20, db_mult=1."""
+    return 20.0 * jnp.log10(jnp.maximum(x, amin)) - 20.0
+
+
+def db_to_amplitude(x: Array, ref: float = 10.0, power: float = 0.5) -> Array:
+    """torchaudio.functional.DB_to_amplitude: ref * 10^(x*power/10)."""
+    return ref * jnp.power(10.0, x * power / 10.0)
+
+
+class SpectralTransform:
+    """Bundles MDCT/IMDCT kernels + the normalization config."""
+
+    def __init__(self, cfg: SpectralConfig, dtype=jnp.float32):
+        self.cfg = cfg
+        self.mdct = MDCT(
+            cfg.n_fft, cfg.hop_length, cfg.win_length, "kbd", cfg.center, dtype=dtype
+        )
+        self.imdct = IMDCT(
+            cfg.n_fft,
+            cfg.hop_length,
+            cfg.win_length,
+            "kbd",
+            cfg.center,
+            out_length=None,
+            dtype=dtype,
+        )
+
+    # ------------------------------------------------------------------ #
+    # normalize / denormalize (pix2pixHD_model.py:83-137)
+    # ------------------------------------------------------------------ #
+    def normalize(self, spectro: Array):
+        cfg = self.cfg
+        if cfg.explicit_encoding:
+            neg = 0.5 * (jnp.abs(spectro) - spectro)
+            pos = spectro + neg
+            log_spectro = jnp.concatenate(
+                (
+                    amplitude_to_db(cfg.alpha * pos + (1 - cfg.alpha) * neg, cfg.min_value),
+                    amplitude_to_db((1 - cfg.alpha) * pos + cfg.alpha * neg, cfg.min_value),
+                ),
+                axis=1,
+            )
+        elif cfg.arcsinh_transform:
+            log_spectro = jnp.arcsinh(cfg.arcsinh_gain * spectro) / _LN10
+        elif cfg.raw_mdct:
+            log_spectro = spectro
+        else:
+            log_spectro = amplitude_to_db(jnp.abs(spectro) + cfg.min_value, cfg.min_value)
+
+        if cfg.abs_norm:
+            lo = jnp.full((1, 1, 1, 1), cfg.src_range[0], log_spectro.dtype)
+            hi = jnp.full((1, 1, 1, 1), cfg.src_range[1], log_spectro.dtype)
+        else:
+            hi = jnp.max(log_spectro, axis=(-2, -1), keepdims=True)
+            lo = jnp.min(log_spectro, axis=(-2, -1), keepdims=True)
+        out = (log_spectro - lo) / (hi - lo)
+        out = out * (cfg.norm_range[1] - cfg.norm_range[0]) + cfg.norm_range[0]
+        return out, {"max": hi, "min": lo}
+
+    def denormalize(self, log_spectro: Array, lo: Array, hi: Array) -> Array:
+        cfg = self.cfg
+        x = (log_spectro - cfg.norm_range[0]) / (cfg.norm_range[1] - cfg.norm_range[0])
+        x = x * (hi - lo) + lo
+        if cfg.arcsinh_transform:
+            return jnp.sinh(x * _LN10) / cfg.arcsinh_gain
+        if cfg.raw_mdct:
+            return x
+        # dB inverse — also the explicit_encoding path (pix2pixHD_model.py:137).
+        return db_to_amplitude(x) - cfg.min_value
+
+    # ------------------------------------------------------------------ #
+    # waveform -> normalized spectro image (pix2pixHD_model.py:32-81)
+    # ------------------------------------------------------------------ #
+    def to_spectro(
+        self,
+        audio: Array,
+        mask: bool = False,
+        mask_size: int = -1,
+        rng: Optional[Array] = None,
+    ):
+        cfg = self.cfg
+        spectro = self.mdct(audio)[:, None]  # (B, 1, F, K) NCHW image
+        pha = jnp.sign(spectro)
+        log_spectro, norm_param = self.normalize(spectro)
+        if not cfg.explicit_encoding and rng is not None:
+            # Decorative phase jitter (pix2pixHD_model.py:49-54); only the
+            # non-arcsinh inference path consumes pha at all.
+            noise = jax.random.normal(rng, pha.shape, pha.dtype)
+            noise = (noise - noise.min()) / (noise.max() - noise.min())
+            pha = pha * noise
+        if mask:
+            if mask_size == -1:
+                mask_size = cfg.lr_mask_size
+            if mask_size > 0:
+                keep = log_spectro[..., :-mask_size]
+                shape = (*log_spectro.shape[:-1], mask_size)
+                if cfg.fit_residual or rng is None:
+                    fill = jnp.zeros(shape, log_spectro.dtype)
+                else:
+                    fill = jax.random.normal(rng, shape, log_spectro.dtype)
+                    fill = fill / (fill.max() - fill.min())
+                log_spectro = jnp.concatenate((keep, fill), axis=-1)
+        return log_spectro, pha, norm_param
+
+    def lr_forward(self, lr_audio: Array, rng: Optional[Array] = None):
+        """LR branch: optional high-band masking (pix2pixHD_model.py:187-192)."""
+        return self.to_spectro(lr_audio, mask=self.cfg.mask, rng=rng)
+
+    def hr_forward(self, hr_audio: Array, rng: Optional[Array] = None):
+        """HR branch (pix2pixHD_model.py:194-200)."""
+        return self.to_spectro(
+            hr_audio, mask=self.cfg.mask_hr, mask_size=self.cfg.hr_mask_size, rng=rng
+        )
+
+    # ------------------------------------------------------------------ #
+    # normalized spectro -> waveform (pix2pixHD_model.py:139-163)
+    # ------------------------------------------------------------------ #
+    def to_audio(
+        self,
+        log_spectro: Array,
+        norm_param,
+        pha: Optional[Array] = None,
+        rng: Optional[Array] = None,
+        out_length: Optional[int] = None,
+    ) -> Array:
+        cfg = self.cfg
+        spectro = self.denormalize(log_spectro, norm_param["min"], norm_param["max"])
+        if cfg.explicit_encoding:
+            spectro = (spectro[:, 0] - spectro[:, 1]) / (2 * cfg.alpha - 1)
+        elif cfg.arcsinh_transform or cfg.raw_mdct:
+            spectro = spectro[:, 0]
+        else:
+            # Re-attach LR sign; pseudo-random +/-1 phase above the LR band
+            # (pix2pixHD_model.py:150-157).
+            spectro = spectro[:, 0]
+            pha = pha[:, 0]
+            if cfg.up_ratio > 1:
+                size = pha.shape[-2]
+                lr_rows = int(size * (1 / cfg.up_ratio))
+                if rng is None:
+                    pseudo = jnp.ones_like(pha)
+                else:
+                    pseudo = (
+                        2 * jax.random.randint(rng, pha.shape, 0, 2).astype(pha.dtype)
+                        - 1
+                    )
+                pha = jnp.concatenate(
+                    (pha[..., :lr_rows, :], pseudo[..., lr_rows:, :]), axis=-2
+                )
+                spectro = spectro * pha
+        audio = self.imdct(spectro)
+        if out_length is not None:
+            audio = audio[..., :out_length]
+        return audio
+
+    def abs_channel(self, log_spectro: Array) -> Array:
+        """Second "abs" input channel when --abs_spectro with arcsinh
+        (pix2pixHD_model.py:400-404): |x|*2 + norm_range[0]."""
+        return jnp.abs(log_spectro) * 2 + self.cfg.norm_range[0]
+
+    def g_input(self, log_spectro: Array) -> Array:
+        if self.cfg.abs_spectro and self.cfg.arcsinh_transform:
+            return jnp.concatenate((log_spectro, self.abs_channel(log_spectro)), axis=1)
+        return log_spectro

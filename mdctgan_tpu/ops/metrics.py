@@ -1,0 +1,90 @@
+"""Audio-quality metrics: MSE, SNR, LSD.
+
+Port of the reference ``compute_matrics`` (util/util.py:132-177).  LSD is
+computed from a 2x-resolution STFT power spectrogram with a KBD window
+(util/util.py:171-175): log10(|STFT|^2 + 1e-6), RMSE over frequency, mean.
+PESQ/segmental-SNR are stubbed out in the reference (pysepm removed) and
+therefore intentionally absent here too.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mdctgan_tpu.ops.window import kbd_window
+
+Array = jax.Array
+
+
+def mse(a: Array, b: Array) -> Array:
+    return jnp.mean((a - b) ** 2)
+
+
+def snr_db(signal: Array, estimate: Array) -> Array:
+    """SNR of `estimate` against reference `signal` (util/util.py:139-143)."""
+    num = jnp.sum(signal ** 2, axis=-1)
+    den = jnp.sum((signal - estimate) ** 2, axis=-1)
+    return jnp.mean(10.0 * jnp.log10(num / jnp.maximum(den, 1e-20)))
+
+
+def stft_power(
+    audio: Array,
+    n_fft: int,
+    hop_length: int,
+    win_length: int,
+    window: np.ndarray,
+    center: bool = True,
+) -> Array:
+    """|STFT|^2 with torch.stft conventions: center reflect-pad by n_fft//2,
+    onesided, (..., freq, time) layout."""
+    if center:
+        pad = [(0, 0)] * (audio.ndim - 1) + [(n_fft // 2, n_fft // 2)]
+        audio = jnp.pad(audio, pad, mode="reflect")
+    t = audio.shape[-1]
+    n_frames = 1 + (t - n_fft) // hop_length
+    idx = (
+        np.arange(n_frames)[:, None] * hop_length + np.arange(win_length)[None, :]
+    )
+    frames = audio[..., idx] * jnp.asarray(window, audio.dtype)
+    spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)
+    power = jnp.abs(spec) ** 2
+    return jnp.swapaxes(power, -1, -2)  # (..., freq, time)
+
+
+def lsd(
+    hr_audio: Array,
+    sr_audio: Array,
+    n_fft: int = 512,
+    hop_length: int = 256,
+    win_length: int = 512,
+    center: bool = True,
+) -> Array:
+    """Log-spectral distance at 2x transform resolution (util/util.py:171-175)."""
+    w = kbd_window(2 * win_length)
+    hs = stft_power(hr_audio, 2 * n_fft, 2 * hop_length, 2 * win_length, w, center)
+    ss = stft_power(sr_audio, 2 * n_fft, 2 * hop_length, 2 * win_length, w, center)
+    hl = jnp.log10(hs + 1e-6)
+    sl = jnp.log10(ss + 1e-6)
+    return jnp.mean(jnp.sqrt(jnp.mean((hl - sl) ** 2, axis=-2)))
+
+
+def compute_metrics(
+    hr_audio: Array,
+    lr_audio: Array,
+    sr_audio: Array,
+    n_fft: int = 512,
+    hop_length: int = 256,
+    win_length: int = 512,
+    center: bool = True,
+) -> Dict[str, Array]:
+    """The reference's metric tuple as a dict: MSE, SNR(SR), SNR(LR), LSD."""
+    return {
+        "mse": mse(hr_audio, sr_audio),
+        "snr_sr": snr_db(hr_audio, sr_audio),
+        "snr_lr": snr_db(hr_audio, lr_audio),
+        "lsd": lsd(hr_audio, sr_audio, n_fft, hop_length, win_length, center),
+    }

@@ -1,0 +1,59 @@
+"""Device mesh + sharding utilities.
+
+The reference is single-GPU (SURVEY.md §2.3: DataParallel commented out,
+--local_rank dead).  The TPU-native scaling story is:
+
+  * one ``jax.sharding.Mesh`` over the slice's ICI, default axes
+    ``('data',)`` — batch-sharded DP, replicated params (G is tens of M
+    params; parameter sharding buys nothing at this scale);
+  * the jitted train step takes sharded batches + replicated state and XLA
+    inserts the gradient all-reduces (psum over 'data');
+  * multi-host (DCN) reuses the same program via jax.distributed — each host
+    feeds its local shard of the batch.
+
+Everything works identically on a virtual CPU mesh
+(``--xla_force_host_platform_device_count=8``) for testing.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    n_devices: Optional[int] = None,
+    axis_names: Tuple[str, ...] = ("data",),
+    shape: Optional[Sequence[int]] = None,
+) -> Mesh:
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    if shape is None:
+        shape = (len(devices),) + (1,) * (len(axis_names) - 1)
+    dev_array = np.asarray(devices).reshape(shape)
+    return Mesh(dev_array, axis_names)
+
+
+def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Leading-axis (batch) sharding."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh, axis: str = "data"):
+    """Place a host batch dict onto the mesh, sharded along the batch dim."""
+    sharding = batch_sharding(mesh, axis)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def replicate(tree, mesh: Mesh):
+    """Replicate a pytree (params/state) across the mesh."""
+    sharding = replicated(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)

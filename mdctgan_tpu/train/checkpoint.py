@@ -1,0 +1,61 @@
+"""Checkpoint save/restore via orbax.
+
+The reference stores bare ``state_dict``s per net per epoch and loses
+optimizer state on resume (base_model.py:43-46, SURVEY.md §5.4).  Here one
+orbax checkpoint captures the full ``GANTrainState`` (params, batch stats,
+both Adam states, step), plus the iteration cursor the reference keeps in
+``iter.txt`` (train.py:32-43).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional, Tuple
+
+import jax
+import orbax.checkpoint as ocp
+
+from mdctgan_tpu.train.state import GANTrainState
+
+
+class CheckpointManager:
+    def __init__(self, directory: str, max_to_keep: int = 5):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self._mgr = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep, create=True
+            ),
+        )
+
+    def save(self, state: GANTrainState, epoch: int, epoch_iter: int = 0) -> None:
+        payload = {
+            "state": state,
+            "cursor": {"epoch": epoch, "epoch_iter": epoch_iter},
+        }
+        self._mgr.save(int(state.step), args=ocp.args.StandardSave(payload))
+
+    def wait(self) -> None:
+        self._mgr.wait_until_finished()
+
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def restore(
+        self, template: GANTrainState, step: Optional[int] = None
+    ) -> Tuple[GANTrainState, int, int]:
+        """Restore (state, epoch, epoch_iter); raises if no checkpoint."""
+        step = step if step is not None else self._mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint under {self.directory}")
+        target = {
+            "state": template,
+            "cursor": {"epoch": 0, "epoch_iter": 0},
+        }
+        out = self._mgr.restore(step, args=ocp.args.StandardRestore(target))
+        cur = out["cursor"]
+        return out["state"], int(cur["epoch"]), int(cur["epoch_iter"])
+
+    def close(self) -> None:
+        self._mgr.close()

@@ -1,0 +1,68 @@
+"""Parameter freezing as optimizer masking (the JAX-idiomatic equivalent of
+the reference's requires_grad toggles: networks.py:269-298 ``set_freeze`` and
+pix2pixHD_model.py:331-343 ``--niter_fix_global``)."""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict
+
+import flax.traverse_util as traverse
+import optax
+
+
+_GLOBAL_DOWN = ("stem", "down")
+_GLOBAL_UP = ("res", "attn", "up", "head")
+
+
+def _top(path) -> str:
+    return path[0]
+
+
+def param_labels(
+    params: Dict[str, Any],
+    freeze_g_d: bool = False,
+    freeze_g_u: bool = False,
+    freeze_l_d: bool = False,
+    freeze_l_u: bool = False,
+    fix_global: bool = False,
+) -> Dict[str, Any]:
+    """Label every param 'train' or 'frozen'.
+
+    Path conventions (see models/generator.py): a LocalEnhancer has a
+    ``global`` subtree plus ``local_*`` top-level modules; a bare
+    GlobalGenerator has ``stem``/``down*``/``res*``/``attn``/``up*``/``head``.
+
+    ``fix_global`` freezes everything except the local enhancer branch
+    (pix2pixHD_model.py:331-343: only params starting with 'model1').
+    """
+    flat = traverse.flatten_dict(params)
+
+    def label(path) -> str:
+        parts = tuple(str(p) for p in path)
+        is_local = parts[0].startswith("local")
+        if fix_global and not is_local:
+            return "frozen"
+        if is_local:
+            down = parts[0] in ("local_stem", "local_down")
+            if down and freeze_l_d:
+                return "frozen"
+            if not down and freeze_l_u:
+                return "frozen"
+            return "train"
+        # global subtree: either nested under 'global' or at top level
+        sub = parts[1] if parts[0] == "global" else parts[0]
+        if sub.startswith(_GLOBAL_DOWN) and freeze_g_d:
+            return "frozen"
+        if sub.startswith(_GLOBAL_UP) and freeze_g_u:
+            return "frozen"
+        return "train"
+
+    return traverse.unflatten_dict({k: label(k) for k in flat})
+
+
+def masked_optimizer(
+    tx: optax.GradientTransformation, labels
+) -> optax.GradientTransformation:
+    return optax.multi_transform(
+        {"train": tx, "frozen": optax.set_to_zero()}, labels
+    )

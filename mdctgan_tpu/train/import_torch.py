@@ -1,0 +1,401 @@
+"""PyTorch ``.pth`` checkpoint importer.
+
+The reference publishes pretrained checkpoints (HF, README.md:27) as torch
+``state_dict``s whose keys are ``nn.Sequential`` indices (``model.14.weight``
+...), because pix2pixHD builds every net as a Sequential
+(networks.py:301-353, 173-247, 641-692).  This module *replays the reference's
+construction order* for a given architecture config to produce the
+torch-key -> flax-path mapping as data, then converts tensors:
+
+  * Conv2d        (O,I,kH,kW)  -> kernel (kH,kW,I,O)
+  * ConvTranspose2d (I,O,kH,kW) -> flax ConvTranspose(transpose_kernel=True)
+                                   kernel (kH,kW,O,I)
+  * BatchNorm2d   weight/bias -> params scale/bias;
+                  running_mean/var -> batch_stats mean/var
+  * InstanceNorm2d(affine=False) — no parameters (skipped)
+
+The reverse direction (flax -> torch) is also provided so round-trip tests
+can validate the mapping without reference checkpoints on disk.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+import flax.traverse_util as traverse
+
+# ---------------------------------------------------------------------------
+# Mapping-table construction (replays reference construction order)
+# ---------------------------------------------------------------------------
+
+# Entry: (torch_prefix, flax_path, kind); kind in
+#   conv | convT | bn | posemb_h | posemb_w
+Entry = Tuple[str, Tuple[str, ...], str]
+
+
+class _Seq:
+    """Simulates nn.Sequential index assignment."""
+
+    def __init__(self, torch_name: str):
+        self.name = torch_name
+        self.idx = 0
+        self.entries: List[Entry] = []
+
+    def skip(self, n: int = 1) -> None:  # pads / norms / activations
+        self.idx += n
+
+    def here(self) -> str:
+        return f"{self.name}.{self.idx}"
+
+    def add(self, kind: str, flax_path: Tuple[str, ...], sub: str = "") -> None:
+        prefix = self.here() + (f".{sub}" if sub else "")
+        self.entries.append((prefix, flax_path, kind))
+
+    def conv(self, flax_path: Tuple[str, ...]) -> None:
+        self.add("conv", flax_path)
+        self.idx += 1
+
+    def module(self, emit) -> None:
+        """Emit entries for a composite module occupying one index."""
+        emit(self.here(), self.entries)
+        self.idx += 1
+
+
+def _conv_resblock(prefix: str, path: Tuple[str, ...], out: List[Entry]) -> None:
+    out.append((f"{prefix}.conv1", path + ("conv1", "conv"), "conv"))
+    out.append((f"{prefix}.conv2", path + ("conv2", "conv"), "conv"))
+    out.append((f"{prefix}.conv_res", path + ("conv_res", "conv"), "conv"))
+
+
+def _interp_upsample(prefix: str, path: Tuple[str, ...], out: List[Entry]) -> None:
+    out.append((f"{prefix}.conv1", path + ("conv1", "conv"), "conv"))
+    out.append((f"{prefix}.conv2", path + ("conv2", "conv"), "conv"))
+    out.append((f"{prefix}.conv_res", path + ("conv_res", "conv"), "conv"))
+
+
+def _resnet_block(prefix: str, path: Tuple[str, ...], out: List[Entry]) -> None:
+    # ResnetBlock.conv_block: 0 pad, 1 conv, 2 norm, 3 act, 4 pad, 5 conv, 6 norm
+    out.append((f"{prefix}.conv_block.1", path + ("conv1", "conv"), "conv"))
+    out.append((f"{prefix}.conv_block.5", path + ("conv2", "conv"), "conv"))
+
+
+def _bottle_stack(
+    prefix: str,
+    path: Tuple[str, ...],
+    num_layers: int,
+    first_has_shortcut: bool,
+    out: List[Entry],
+) -> None:
+    """bottleneck_transformer_pytorch 0.1.4 BottleStack.net = Sequential of
+    BottleBlocks; each block.net: 0 conv,1 bn,2 act,3 attn,4 pool/id,5 bn,
+    6 act,7 conv,8 bn; optional shortcut: 0 conv,1 bn,2 act."""
+    for layer in range(num_layers):
+        b = f"{prefix}.net.{layer}"
+        p = path + (f"block{layer}",)
+        if layer == 0 and first_has_shortcut:
+            out.append((f"{b}.shortcut.0", p + ("shortcut_conv",), "conv"))
+            out.append((f"{b}.shortcut.1", p + ("shortcut_bn", "bn"), "bn"))
+        out.append((f"{b}.net.0", p + ("proj_in",), "conv"))
+        out.append((f"{b}.net.1", p + ("bn1", "bn"), "bn"))
+        out.append((f"{b}.net.3.to_qkv", p + ("attn", "to_qkv"), "conv"))
+        out.append((f"{b}.net.3.pos_emb", p + ("attn", "pos_emb"), "posemb"))
+        out.append((f"{b}.net.5", p + ("bn2", "bn"), "bn"))
+        out.append((f"{b}.net.7", p + ("proj_out",), "conv"))
+        out.append((f"{b}.net.8", p + ("bn3", "bn"), "bn"))
+
+
+def _down_layer(seq: _Seq, kind: str, path: Tuple[str, ...]) -> None:
+    if kind == "conv":
+        seq.add("conv", path + ("conv",))
+        seq.idx += 1
+    else:  # resconv
+        seq.module(lambda pfx, out: _conv_resblock(pfx, path, out))
+    seq.skip(2)  # norm, relu
+
+
+def _up_layer(seq: _Seq, kind: str, path: Tuple[str, ...]) -> None:
+    if kind == "transconv":
+        seq.add("convT", path + ("conv",))
+        seq.idx += 1
+    else:  # interpolate
+        seq.module(lambda pfx, out: _interp_upsample(pfx, path, out))
+    seq.skip(2)  # norm, relu
+
+
+def global_generator_entries(
+    torch_name: str,
+    flax_prefix: Tuple[str, ...],
+    n_downsampling: int,
+    n_blocks: int,
+    n_attn: int,
+    downsample_type: str,
+    upsample_type: str,
+    include_head: bool,
+) -> List[Entry]:
+    """Replay GlobalGenerator.__init__ (networks.py:301-353)."""
+    seq = _Seq(torch_name)
+    seq.skip(1)  # ReflectionPad2d(3)
+    seq.conv(flax_prefix + ("stem", "conv"))
+    seq.skip(2)  # norm, relu
+    for i in range(n_downsampling):
+        if downsample_type == "conv":
+            _down_layer(seq, "conv", flax_prefix + (f"down{i}",))
+        else:
+            _down_layer(seq, "resconv", flax_prefix + (f"down{i}",))
+    mid = n_blocks // 2
+    for i in range(n_blocks + (1 if n_attn > 0 else 0)):
+        # bottleneck order: res0..res(mid-1), attn, res(mid)..res(n-1)
+        if n_attn > 0 and i == mid:
+            seq.module(
+                lambda pfx, out: _bottle_stack(
+                    pfx, flax_prefix + ("attn",), n_attn, False, out
+                )
+            )
+        else:
+            r = i if (n_attn == 0 or i < mid) else i - 1
+            seq.module(
+                lambda pfx, out, r=r: _resnet_block(
+                    pfx, flax_prefix + (f"res{r}",), out
+                )
+            )
+    for i in range(n_downsampling):
+        _up_layer(seq, upsample_type, flax_prefix + (f"up{i}",))
+    if include_head:
+        seq.skip(1)  # pad
+        seq.conv(flax_prefix + ("head", "conv"))
+        seq.skip(1)  # tanh
+    return seq.entries
+
+
+def local_enhancer_entries(
+    n_downsample_global: int,
+    n_blocks_global: int,
+    n_attn_global: int,
+    n_blocks_local: int,
+    n_attn_local: int,
+    downsample_type: str,
+    upsample_type: str,
+) -> List[Entry]:
+    """Replay LocalEnhancer.__init__ (networks.py:173-247): ``model`` is the
+    truncated global, ``model1_1`` the local stem, ``model1_2`` the local
+    refine/upsample branch."""
+    entries = global_generator_entries(
+        "model",
+        ("global",),
+        n_downsample_global,
+        n_blocks_global,
+        n_attn_global,
+        downsample_type,
+        upsample_type,
+        include_head=False,
+    )
+    # model1_1: pad, conv7, norm, relu, down, norm, relu
+    seq = _Seq("model1_1")
+    seq.skip(1)
+    seq.conv(("local_stem", "conv"))
+    seq.skip(2)
+    if downsample_type == "conv":
+        seq.add("conv", ("local_down", "conv"))
+        seq.idx += 1
+    else:
+        seq.module(lambda pfx, out: _conv_resblock(pfx, ("local_down",), out))
+    seq.skip(2)
+    entries += seq.entries
+
+    # model1_2: resblocks (+ optional [down-seq, attn] at middle and 3 shared
+    # ups after), final upsample, pad, conv7, tanh
+    seq = _Seq("model1_2")
+    mid = n_blocks_local // 2
+    emitted_shared_down = False
+    for i in range(n_blocks_local):
+        if n_attn_local > 0 and i == mid:
+            # the inserted `down` is itself a Sequential occupying one index:
+            # [down0, norm, relu, shared, norm, relu, shared, norm, relu]
+            pfx = seq.here()
+            _sub = _Seq(pfx)
+            if downsample_type == "conv":
+                _sub.add("conv", ("local_attn_down0", "conv"))
+                _sub.idx += 1
+            else:
+                _sub.module(lambda p, o: _conv_resblock(p, ("local_attn_down0",), o))
+            _sub.skip(2)
+            # shared module repeated twice -> import from FIRST occurrence only
+            if downsample_type == "conv":
+                _sub.add("conv", ("local_attn_down_shared", "conv"))
+                _sub.idx += 1
+            else:
+                _sub.module(
+                    lambda p, o: _conv_resblock(p, ("local_attn_down_shared",), o)
+                )
+            seq.entries.extend(_sub.entries)
+            seq.idx += 1
+            # attention: dim = ngf_l != dim_out = ngf_l*2 -> shortcut exists
+            seq.module(
+                lambda pfx2, out: _bottle_stack(
+                    pfx2, ("local_attn",), n_attn_local, True, out
+                )
+            )
+        seq.module(
+            lambda pfx2, out, i=i: _resnet_block(pfx2, (f"local_res{i}",), out)
+        )
+    if n_attn_local > 0:
+        # 3x shared upsample: import from first occurrence
+        _up_layer(seq, upsample_type, ("local_attn_up_shared",))
+        for _ in range(2):
+            seq.skip(3 if upsample_type == "transconv" else 3)
+    _up_layer(seq, upsample_type, ("local_up",))
+    seq.skip(1)
+    seq.conv(("local_head", "conv"))
+    seq.skip(1)
+    entries += seq.entries
+    return entries
+
+
+def discriminator_entries(num_d: int, n_layers: int) -> List[Entry]:
+    """Replay MultiscaleDiscriminator with getIntermFeat (networks.py:515-523):
+    per scale i, groups scale{i}_layer{j}, conv at sub-index 0."""
+    entries: List[Entry] = []
+    for i in range(num_d):
+        for j in range(n_layers + 2):
+            entries.append(
+                (
+                    f"scale{i}_layer{j}.0",
+                    (f"scale{i}", f"layer{j}", "conv"),
+                    "conv",
+                )
+            )
+    return entries
+
+
+def generator_entries_for(gen) -> List[Entry]:
+    """Mapping table for one of our generator modules."""
+    from mdctgan_tpu.models.generator import GlobalGenerator, LocalEnhancer
+
+    if isinstance(gen, LocalEnhancer):
+        return local_enhancer_entries(
+            gen.n_downsample_global,
+            gen.n_blocks_global,
+            gen.n_attn_global,
+            gen.n_blocks_local,
+            gen.n_attn_local,
+            gen.downsample_type,
+            gen.upsample_type,
+        )
+    if isinstance(gen, GlobalGenerator):
+        return global_generator_entries(
+            "model",
+            (),
+            gen.n_downsampling,
+            gen.n_blocks,
+            gen.n_attn,
+            gen.downsample_type,
+            gen.upsample_type,
+            gen.include_head,
+        )
+    raise TypeError(f"unsupported generator {type(gen)}")
+
+
+# ---------------------------------------------------------------------------
+# Tensor conversion
+# ---------------------------------------------------------------------------
+
+def _to_np(t) -> np.ndarray:
+    if hasattr(t, "detach"):
+        t = t.detach().cpu().numpy()
+    return np.asarray(t)
+
+
+def convert_state_dict(
+    state_dict: Dict[str, Any], entries: List[Entry]
+) -> Tuple[Dict, Dict, List[str]]:
+    """torch state_dict -> (params flat dict, batch_stats flat dict,
+    unconsumed torch keys)."""
+    params: Dict[Tuple[str, ...], np.ndarray] = {}
+    stats: Dict[Tuple[str, ...], np.ndarray] = {}
+    consumed = set()
+
+    def take(key: str) -> Optional[np.ndarray]:
+        if key in state_dict:
+            consumed.add(key)
+            return _to_np(state_dict[key])
+        return None
+
+    for prefix, path, kind in entries:
+        if kind == "conv":
+            w = take(f"{prefix}.weight")
+            if w is None:
+                raise KeyError(f"missing torch key {prefix}.weight")
+            params[path + ("kernel",)] = np.transpose(w, (2, 3, 1, 0))
+            b = take(f"{prefix}.bias")
+            if b is not None:
+                params[path + ("bias",)] = b
+        elif kind == "convT":
+            w = take(f"{prefix}.weight")  # (I, O, kH, kW)
+            if w is None:
+                raise KeyError(f"missing torch key {prefix}.weight")
+            # flax ConvTranspose(transpose_kernel=True): kernel (kH,kW,O,I)
+            params[path + ("kernel",)] = np.transpose(w, (2, 3, 1, 0))
+            b = take(f"{prefix}.bias")
+            if b is not None:
+                params[path + ("bias",)] = b
+        elif kind == "bn":
+            params[path + ("scale",)] = take(f"{prefix}.weight")
+            params[path + ("bias",)] = take(f"{prefix}.bias")
+            stats[path + ("mean",)] = take(f"{prefix}.running_mean")
+            stats[path + ("var",)] = take(f"{prefix}.running_var")
+            take(f"{prefix}.num_batches_tracked")  # discard
+        elif kind == "posemb":
+            params[path + ("height",)] = take(f"{prefix}.height")
+            params[path + ("width",)] = take(f"{prefix}.width")
+        else:
+            raise ValueError(kind)
+
+    leftover = [k for k in state_dict if k not in consumed]
+    return params, stats, leftover
+
+
+def import_generator(state_dict: Dict[str, Any], gen) -> Tuple[Dict, Dict]:
+    """torch G state_dict -> (params, batch_stats) pytrees for our module."""
+    entries = generator_entries_for(gen)
+    flat_p, flat_s, leftover = convert_state_dict(state_dict, entries)
+    if leftover:
+        raise ValueError(f"unconsumed torch keys (arch mismatch?): {leftover[:8]}")
+    return traverse.unflatten_dict(flat_p), traverse.unflatten_dict(flat_s)
+
+
+def import_discriminator(state_dict: Dict[str, Any], num_d: int, n_layers: int) -> Dict:
+    entries = discriminator_entries(num_d, n_layers)
+    flat_p, _, leftover = convert_state_dict(state_dict, entries)
+    if leftover:
+        raise ValueError(f"unconsumed torch keys (arch mismatch?): {leftover[:8]}")
+    return traverse.unflatten_dict(flat_p)
+
+
+def export_to_torch_keys(params: Dict, batch_stats: Dict, entries: List[Entry]) -> Dict[str, np.ndarray]:
+    """Inverse mapping (for round-trip tests and torch interop)."""
+    flat_p = traverse.flatten_dict(params)
+    flat_s = traverse.flatten_dict(batch_stats) if batch_stats else {}
+    out: Dict[str, np.ndarray] = {}
+    for prefix, path, kind in entries:
+        if kind in ("conv", "convT"):
+            w = np.asarray(flat_p[path + ("kernel",)])
+            out[f"{prefix}.weight"] = np.transpose(w, (3, 2, 0, 1))
+            if path + ("bias",) in flat_p:
+                out[f"{prefix}.bias"] = np.asarray(flat_p[path + ("bias",)])
+        elif kind == "bn":
+            out[f"{prefix}.weight"] = np.asarray(flat_p[path + ("scale",)])
+            out[f"{prefix}.bias"] = np.asarray(flat_p[path + ("bias",)])
+            out[f"{prefix}.running_mean"] = np.asarray(flat_s[path + ("mean",)])
+            out[f"{prefix}.running_var"] = np.asarray(flat_s[path + ("var",)])
+        elif kind == "posemb":
+            out[f"{prefix}.height"] = np.asarray(flat_p[path + ("height",)])
+            out[f"{prefix}.width"] = np.asarray(flat_p[path + ("width",)])
+    return out
+
+
+def load_pth(path: str) -> Dict[str, Any]:
+    import torch
+
+    return torch.load(path, map_location="cpu", weights_only=True)

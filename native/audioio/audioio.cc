@@ -1,0 +1,290 @@
+// audioio — native host-side audio decode + prefetch for the input pipeline.
+//
+// TPU-native replacement for the reference's torchaudio sox_io backend
+// (reference: data/audio_dataset.py:9,34-52): WAV probing, random-offset
+// segment reads, and a multi-threaded prefetching segment loader that keeps
+// the host input pipeline off the Python GIL.  Exposed to Python via a plain
+// C ABI consumed with ctypes (mdctgan_tpu/data/native.py).
+//
+// Supported containers: RIFF/WAVE with PCM 16/24/32-bit and IEEE float32.
+// (VCTK ships 16-bit PCM WAV.)
+
+#include <atomic>
+#include <condition_variable>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <mutex>
+#include <queue>
+#include <random>
+#include <string>
+#include <thread>
+#include <vector>
+
+namespace {
+
+struct WavInfo {
+  uint32_t sample_rate = 0;
+  uint16_t channels = 0;
+  uint16_t bits_per_sample = 0;
+  uint16_t format = 0;  // 1 = PCM, 3 = IEEE float
+  uint64_t num_frames = 0;
+  uint64_t data_offset = 0;  // byte offset of sample data
+};
+
+bool read_wav_header(std::FILE* f, WavInfo* info) {
+  char riff[4], wave[4];
+  uint32_t riff_size;
+  if (std::fread(riff, 1, 4, f) != 4 || std::memcmp(riff, "RIFF", 4) != 0)
+    return false;
+  if (std::fread(&riff_size, 4, 1, f) != 1) return false;
+  if (std::fread(wave, 1, 4, f) != 4 || std::memcmp(wave, "WAVE", 4) != 0)
+    return false;
+  bool have_fmt = false;
+  while (true) {
+    char id[4];
+    uint32_t size;
+    if (std::fread(id, 1, 4, f) != 4 || std::fread(&size, 4, 1, f) != 1)
+      return false;
+    if (std::memcmp(id, "fmt ", 4) == 0) {
+      std::vector<uint8_t> buf(size);
+      if (std::fread(buf.data(), 1, size, f) != size) return false;
+      if (size < 16) return false;
+      info->format = *reinterpret_cast<uint16_t*>(&buf[0]);
+      info->channels = *reinterpret_cast<uint16_t*>(&buf[2]);
+      info->sample_rate = *reinterpret_cast<uint32_t*>(&buf[4]);
+      info->bits_per_sample = *reinterpret_cast<uint16_t*>(&buf[14]);
+      if (info->format == 0xFFFE && size >= 40) {  // WAVE_FORMAT_EXTENSIBLE
+        info->format = *reinterpret_cast<uint16_t*>(&buf[24]);
+      }
+      have_fmt = true;
+    } else if (std::memcmp(id, "data", 4) == 0) {
+      if (!have_fmt || info->channels == 0 || info->bits_per_sample == 0)
+        return false;
+      info->data_offset = static_cast<uint64_t>(std::ftell(f));
+      info->num_frames = size / (info->channels * info->bits_per_sample / 8);
+      return info->format == 1 || info->format == 3;
+    } else {
+      if (std::fseek(f, static_cast<long>(size + (size & 1)), SEEK_CUR) != 0)
+        return false;
+    }
+  }
+}
+
+// Decode `frames` frames starting at `offset` into mono float32 (channel 0,
+// matching the reference's waveform[0] selection, audio_dataset.py:104).
+bool decode_frames(std::FILE* f, const WavInfo& info, uint64_t offset,
+                   uint64_t frames, float* out) {
+  const uint32_t bps = info.bits_per_sample / 8;
+  const uint32_t frame_bytes = bps * info.channels;
+  if (std::fseek(f, static_cast<long>(info.data_offset + offset * frame_bytes),
+                 SEEK_SET) != 0)
+    return false;
+  std::vector<uint8_t> buf(frames * frame_bytes);
+  size_t got = std::fread(buf.data(), 1, buf.size(), f);
+  uint64_t got_frames = got / frame_bytes;
+  for (uint64_t i = 0; i < frames; ++i) {
+    if (i >= got_frames) {
+      out[i] = 0.0f;
+      continue;
+    }
+    const uint8_t* p = &buf[i * frame_bytes];  // channel 0
+    if (info.format == 3 && info.bits_per_sample == 32) {
+      float v;
+      std::memcpy(&v, p, 4);
+      out[i] = v;
+    } else if (info.bits_per_sample == 16) {
+      int16_t v;
+      std::memcpy(&v, p, 2);
+      out[i] = static_cast<float>(v) / 32768.0f;
+    } else if (info.bits_per_sample == 24) {
+      int32_t v = (p[0] << 8) | (p[1] << 16) | (p[2] << 24);
+      out[i] = static_cast<float>(v >> 8) / 8388608.0f;
+    } else if (info.bits_per_sample == 32 && info.format == 1) {
+      int32_t v;
+      std::memcpy(&v, p, 4);
+      out[i] = static_cast<float>(v) / 2147483648.0f;
+    } else {
+      return false;
+    }
+  }
+  return true;
+}
+
+// ------------------------------------------------------------------------
+// Prefetching segment loader: worker threads draw (file, offset) samples and
+// fill a bounded queue of decoded segments.
+// ------------------------------------------------------------------------
+
+struct Segment {
+  std::vector<float> data;
+  uint32_t sample_rate;
+};
+
+class Prefetcher {
+ public:
+  Prefetcher(std::vector<std::string> files, uint64_t segment_frames,
+             int n_threads, int queue_cap, uint64_t seed)
+      : files_(std::move(files)),
+        segment_frames_(segment_frames),
+        cap_(queue_cap),
+        stop_(false) {
+    for (int i = 0; i < n_threads; ++i) {
+      workers_.emplace_back([this, seed, i] { Work(seed + i); });
+    }
+  }
+
+  ~Prefetcher() {
+    {
+      std::lock_guard<std::mutex> lk(mu_);
+      stop_ = true;
+    }
+    not_full_.notify_all();
+    not_empty_.notify_all();
+    for (auto& t : workers_) t.join();
+  }
+
+  // Blocking pop; returns false on shutdown.
+  bool Next(float* out, uint32_t* sample_rate) {
+    std::unique_lock<std::mutex> lk(mu_);
+    not_empty_.wait(lk, [this] { return stop_ || !queue_.empty(); });
+    if (queue_.empty()) return false;
+    Segment seg = std::move(queue_.front());
+    queue_.pop();
+    lk.unlock();
+    not_full_.notify_one();
+    std::memcpy(out, seg.data.data(), seg.data.size() * sizeof(float));
+    *sample_rate = seg.sample_rate;
+    return true;
+  }
+
+ private:
+  void Work(uint64_t seed) {
+    std::mt19937_64 rng(seed);
+    std::uniform_int_distribution<size_t> pick(0, files_.size() - 1);
+    while (true) {
+      {
+        std::lock_guard<std::mutex> lk(mu_);
+        if (stop_) return;
+      }
+      size_t idx = pick(rng);
+      Segment seg;
+      seg.data.assign(segment_frames_, 0.0f);
+      std::FILE* f = std::fopen(files_[idx].c_str(), "rb");
+      if (!f) continue;  // skip unreadable files (audio_dataset.py:56-65)
+      WavInfo info;
+      bool ok = read_wav_header(f, &info);
+      if (ok) {
+        uint64_t max_start = info.num_frames > segment_frames_
+                                 ? info.num_frames - segment_frames_
+                                 : 0;
+        uint64_t off = max_start
+            ? std::uniform_int_distribution<uint64_t>(0, max_start - 1)(rng)
+            : 0;
+        ok = decode_frames(f, info, off, segment_frames_, seg.data.data());
+        seg.sample_rate = info.sample_rate;
+      }
+      std::fclose(f);
+      if (!ok) continue;
+      std::unique_lock<std::mutex> lk(mu_);
+      not_full_.wait(lk, [this] { return stop_ || queue_.size() < cap_; });
+      if (stop_) return;
+      queue_.push(std::move(seg));
+      lk.unlock();
+      not_empty_.notify_one();
+    }
+  }
+
+  std::vector<std::string> files_;
+  uint64_t segment_frames_;
+  size_t cap_;
+  bool stop_;
+  std::mutex mu_;
+  std::condition_variable not_empty_, not_full_;
+  std::queue<Segment> queue_;
+  std::vector<std::thread> workers_;
+};
+
+}  // namespace
+
+extern "C" {
+
+// Probe: returns 0 on success and fills (sample_rate, channels, num_frames).
+int audioio_info(const char* path, uint32_t* sample_rate, uint32_t* channels,
+                 uint64_t* num_frames) {
+  std::FILE* f = std::fopen(path, "rb");
+  if (!f) return -1;
+  WavInfo info;
+  bool ok = read_wav_header(f, &info);
+  std::fclose(f);
+  if (!ok) return -2;
+  *sample_rate = info.sample_rate;
+  *channels = info.channels;
+  *num_frames = info.num_frames;
+  return 0;
+}
+
+// Decode `frames` mono-float32 frames at `offset`; zero-pads past EOF.
+int audioio_read(const char* path, uint64_t offset, uint64_t frames,
+                 float* out, uint32_t* sample_rate) {
+  std::FILE* f = std::fopen(path, "rb");
+  if (!f) return -1;
+  WavInfo info;
+  bool ok = read_wav_header(f, &info);
+  if (ok) ok = decode_frames(f, info, offset, frames, out);
+  std::fclose(f);
+  if (!ok) return -2;
+  *sample_rate = info.sample_rate;
+  return 0;
+}
+
+// Write a mono 16-bit PCM WAV (for generate_audio output parity).
+int audioio_write_wav16(const char* path, const float* data, uint64_t frames,
+                        uint32_t sample_rate) {
+  std::FILE* f = std::fopen(path, "wb");
+  if (!f) return -1;
+  uint32_t data_bytes = static_cast<uint32_t>(frames * 2);
+  uint32_t riff_size = 36 + data_bytes;
+  uint16_t fmt = 1, ch = 1, bits = 16;
+  uint32_t byte_rate = sample_rate * 2, fmt_size = 16;
+  uint16_t block_align = 2;
+  std::fwrite("RIFF", 1, 4, f);
+  std::fwrite(&riff_size, 4, 1, f);
+  std::fwrite("WAVEfmt ", 1, 8, f);
+  std::fwrite(&fmt_size, 4, 1, f);
+  std::fwrite(&fmt, 2, 1, f);
+  std::fwrite(&ch, 2, 1, f);
+  std::fwrite(&sample_rate, 4, 1, f);
+  std::fwrite(&byte_rate, 4, 1, f);
+  std::fwrite(&block_align, 2, 1, f);
+  std::fwrite(&bits, 2, 1, f);
+  std::fwrite("data", 1, 4, f);
+  std::fwrite(&data_bytes, 4, 1, f);
+  std::vector<int16_t> pcm(frames);
+  for (uint64_t i = 0; i < frames; ++i) {
+    float v = data[i];
+    if (v > 1.0f) v = 1.0f;
+    if (v < -1.0f) v = -1.0f;
+    pcm[i] = static_cast<int16_t>(v * 32767.0f);
+  }
+  std::fwrite(pcm.data(), 2, frames, f);
+  std::fclose(f);
+  return 0;
+}
+
+void* audioio_prefetcher_create(const char** paths, uint64_t n_paths,
+                                uint64_t segment_frames, int n_threads,
+                                int queue_cap, uint64_t seed) {
+  std::vector<std::string> files(paths, paths + n_paths);
+  if (files.empty()) return nullptr;
+  return new Prefetcher(std::move(files), segment_frames, n_threads, queue_cap,
+                        seed);
+}
+
+int audioio_prefetcher_next(void* p, float* out, uint32_t* sample_rate) {
+  return static_cast<Prefetcher*>(p)->Next(out, sample_rate) ? 0 : -1;
+}
+
+void audioio_prefetcher_destroy(void* p) { delete static_cast<Prefetcher*>(p); }
+
+}  // extern "C"

@@ -2,18 +2,27 @@
 
 Multi-device sharding tests run on fake CPU devices via
 ``--xla_force_host_platform_device_count`` (the standard JAX trick; the
-reference has no distributed tests at all — SURVEY.md §4).  This must run
-before anything imports jax.
+reference has no distributed tests at all — SURVEY.md §4).
+
+This environment ships a sitecustomize that imports jax and registers a
+remote-TPU PJRT backend at interpreter startup — before conftest runs — which
+pins everything to one remote chip and defeats a plain JAX_PLATFORMS env var.
+jax.config.update('jax_platforms', ...) still wins as long as no backend has
+been initialized yet, so we apply it here, before any test imports jax
+arrays.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

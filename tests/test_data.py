@@ -1,0 +1,129 @@
+"""Data-layer tests: native WAV decode parity with the Python fallback,
+dataset sampling, segmentation/overlap-add, and the input pipeline
+(reference behavior: data/audio_dataset.py, generate_audio.py:40-51)."""
+
+import os
+import wave
+
+import numpy as np
+import pytest
+
+from mdctgan_tpu.data import native
+from mdctgan_tpu.data.dataset import (
+    AudioDataset,
+    AudioTestDataset,
+    list_audio_files,
+    overlap_add_segments,
+)
+
+
+def write_wav(path, data, sr=48000):
+    pcm = (np.clip(data, -1, 1) * 32767.0).astype("<i2")
+    with wave.open(path, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(pcm.tobytes())
+
+
+@pytest.fixture
+def wav_dir(tmp_path, rng):
+    for i in range(3):
+        data = 0.5 * np.sin(2 * np.pi * 440 * np.arange(48000) / 48000)
+        write_wav(str(tmp_path / f"a{i}.wav"), data + 0.01 * i)
+    return tmp_path
+
+
+def test_native_lib_builds():
+    assert native.load_library() is not None
+
+
+def test_info_and_read_match_python(wav_dir):
+    path = str(wav_dir / "a0.wav")
+    sr, ch, nframes = native.info(path)
+    assert (sr, ch, nframes) == (48000, 1, 48000)
+    nat, sr1 = native.read(path, 100, 1000)
+    py, sr2 = native._py_read(path, 100, 1000)
+    assert sr1 == sr2 == 48000
+    np.testing.assert_allclose(nat, py, atol=0)
+
+
+def test_read_past_eof_zero_pads(wav_dir):
+    path = str(wav_dir / "a0.wav")
+    data, _ = native.read(path, 47000, 2000)
+    assert data.shape == (2000,)
+    assert np.all(data[1000:] == 0.0)
+
+
+def test_write_wav16_roundtrip(tmp_path, rng):
+    data = (0.3 * rng.standard_normal(1000)).astype(np.float32)
+    path = str(tmp_path / "out.wav")
+    native.write_wav16(path, data, 16000)
+    back, sr = native.read(path)
+    assert sr == 16000
+    np.testing.assert_allclose(back, np.clip(data, -1, 1), atol=1 / 32767.0)
+
+
+def test_list_audio_files_csv_and_dir(wav_dir):
+    files = list_audio_files(str(wav_dir))
+    assert len(files) == 3
+    csv_path = wav_dir / "index.csv"
+    csv_path.write_text("a0.wav\na1.wav\n")
+    files = list_audio_files(str(csv_path))
+    assert len(files) == 2 and files[0].endswith("a0.wav")
+
+
+def test_dataset_sample(wav_dir):
+    ds = AudioDataset(str(wav_dir), segment_length=8000, seed=0)
+    seg, sr = ds.sample()
+    assert seg.shape == (8000,) and sr == 48000
+    batch, sr = ds.sample_batch(4)
+    assert batch.shape == (4, 8000)
+
+
+def test_dataset_skips_corrupt(wav_dir):
+    (wav_dir / "bad.wav").write_bytes(b"not a wav at all")
+    ds = AudioDataset(str(wav_dir), segment_length=8000, seed=0)
+    for _ in range(8):
+        seg, _ = ds.sample()
+        assert seg.shape == (8000,)
+
+
+def test_test_dataset_segments(wav_dir):
+    ds = AudioTestDataset(str(wav_dir / "a0.wav"), segment_length=10000, overlap=0)
+    segs = ds.segments_of(ds.raw_audio)
+    assert segs.shape == (5, 10000)  # ceil(48000/10000) = 5
+    # DC shift applied
+    assert abs(ds.raw_audio.mean() - 1e-4) < 1e-6
+
+
+def test_overlap_add_roundtrip(rng):
+    """Unfold + edge-halve + fold reproduces the interior exactly when
+    segments perfectly overlap-tile the signal."""
+    seg_len, ov = 100, 20
+    stride = seg_len - ov
+    x = rng.standard_normal(stride * 7 + seg_len).astype(np.float32)
+    idx = np.arange(8)[:, None] * stride + np.arange(seg_len)[None, :]
+    segs = x[idx]
+    out = overlap_add_segments(segs, seg_len, ov)
+    # interior samples covered by exactly one segment or a halved pair
+    np.testing.assert_allclose(out[ov:-ov], x[ov : len(out) - ov], atol=1e-5)
+
+
+def test_input_pipeline(wav_dir):
+    from mdctgan_tpu.data.pipeline import InputPipeline
+    from mdctgan_tpu.ops.features import SpectralConfig
+
+    cfg = SpectralConfig(
+        n_fft=64, hop_length=32, win_length=64, segment_length=992,
+        lr_sampling_rate=16000, hr_sampling_rate=48000,
+    )
+    ds = AudioDataset(str(wav_dir), segment_length=992, seed=0)
+    pipe = InputPipeline(ds, cfg, batch_size=2, orig_freq=48000)
+    try:
+        batch = next(pipe)
+        assert batch["lr_audio"].shape == (2, 992)
+        assert batch["hr_audio"].shape == (2, 992)
+        assert np.isfinite(np.asarray(batch["lr_audio"])).all()
+    finally:
+        pipe.close()

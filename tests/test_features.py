@@ -1,0 +1,103 @@
+"""Feature-pipeline tests: normalize/denormalize inverses, masking geometry,
+and full waveform->spectro->waveform reconstruction in each normalization mode
+(reference behavior: models/pix2pixHD_model.py:32-200)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mdctgan_tpu.ops.features import SpectralConfig, SpectralTransform
+
+
+def make_audio(rng, b=2, t=32512):
+    # speech-ish scale: reference waveforms are in [-1, 1]
+    return jnp.asarray(0.1 * rng.standard_normal((b, t)), jnp.float32)
+
+
+def test_arcsinh_normalize_denormalize_inverse(rng):
+    tf = SpectralTransform(SpectralConfig())
+    x = jnp.asarray(0.01 * rng.standard_normal((2, 1, 8, 16)), jnp.float32)
+    y, p = tf.normalize(x)
+    back = tf.denormalize(y, p["min"], p["max"])
+    np.testing.assert_allclose(np.asarray(back), np.asarray(x), atol=1e-6, rtol=1e-4)
+
+
+def test_arcsinh_roundtrip_waveform(rng):
+    cfg = SpectralConfig()
+    tf = SpectralTransform(cfg)
+    audio = make_audio(rng)
+    spec, pha, p = tf.to_spectro(audio)
+    assert spec.shape == (2, 1, 128, 256)
+    out = tf.to_audio(spec, p, pha, out_length=32512)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(audio), atol=2e-4)
+
+
+def test_per_sample_norm_range(rng):
+    cfg = SpectralConfig(abs_norm=False, norm_range=(0.0, 1.0))
+    tf = SpectralTransform(cfg)
+    spec, _, p = tf.to_spectro(make_audio(rng))
+    s = np.asarray(spec)
+    assert abs(s.min() - 0.0) < 1e-5 and abs(s.max() - 1.0) < 1e-5
+    out = tf.to_audio(spec, p, None, out_length=32512)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_mask_zero_fill_fit_residual(rng):
+    cfg = SpectralConfig(mask=True, fit_residual=True)
+    tf = SpectralTransform(cfg)
+    spec, _, _ = tf.lr_forward(make_audio(rng))
+    ms = cfg.lr_mask_size
+    assert ms == int(256 * (1 - 1 / 3.0))
+    s = np.asarray(spec)
+    assert np.all(s[..., -ms:] == 0.0)
+    assert not np.all(s[..., :-ms] == 0.0)
+
+
+def test_mask_noise_fill(rng):
+    cfg = SpectralConfig(mask=True, fit_residual=False)
+    tf = SpectralTransform(cfg)
+    spec, _, _ = tf.to_spectro(
+        make_audio(rng), mask=True, rng=jax.random.PRNGKey(0)
+    )
+    s = np.asarray(spec)[..., -cfg.lr_mask_size :]
+    assert s.std() > 0  # noise-filled
+    assert abs(s.mean()) < 0.1  # roughly centered
+
+
+def test_explicit_encoding_roundtrip(rng):
+    cfg = SpectralConfig(
+        arcsinh_transform=False, explicit_encoding=True, abs_spectro=False,
+        abs_norm=False, norm_range=(0.0, 1.0),
+    )
+    tf = SpectralTransform(cfg)
+    audio = make_audio(rng)
+    spec, pha, p = tf.to_spectro(audio)
+    assert spec.shape[1] == 2  # dual channel
+    out = tf.to_audio(spec, p, pha, out_length=32512)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(audio), atol=5e-3)
+
+
+def test_g_input_abs_channel(rng):
+    cfg = SpectralConfig()
+    tf = SpectralTransform(cfg)
+    spec, _, _ = tf.to_spectro(make_audio(rng))
+    gi = tf.g_input(spec)
+    assert gi.shape[1] == 2
+    np.testing.assert_allclose(
+        np.asarray(gi[:, 1]), np.abs(np.asarray(spec[:, 0])) * 2 - 1.0, atol=1e-6
+    )
+
+
+def test_hr_mask_size_formula():
+    cfg = SpectralConfig(sr_sampling_rate=24000)
+    assert cfg.hr_mask_size == int(512 * (1 - 24000 / 48000) // 2)
+    assert SpectralConfig().hr_mask_size == 0
+
+
+def test_jit_to_spectro(rng):
+    tf = SpectralTransform(SpectralConfig())
+    f = jax.jit(lambda a: tf.to_spectro(a)[0])
+    out = f(make_audio(rng))
+    assert out.shape == (2, 1, 128, 256)

@@ -1,0 +1,135 @@
+"""Model shape/structure tests (small geometries — single-core CPU CI).
+
+The reference has no tests; these pin the architectural contracts from
+networks.py: output shapes, channel progressions, multiscale D feature lists,
+and BatchNorm state living only under the attention stack.
+"""
+
+import flax
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mdctgan_tpu.models.discriminator import MultiscaleDiscriminator
+from mdctgan_tpu.models.generator import GlobalGenerator, LocalEnhancer
+from mdctgan_tpu.models.layers import avg_pool_3x3_s2, instance_norm
+from mdctgan_tpu.models.losses import feature_matching_loss, gan_loss
+
+
+def test_instance_norm():
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 8, 8, 4)), jnp.float32)
+    y = instance_norm(x)
+    m = np.asarray(jnp.mean(y, axis=(1, 2)))
+    v = np.asarray(jnp.var(y, axis=(1, 2)))
+    np.testing.assert_allclose(m, 0, atol=1e-5)
+    np.testing.assert_allclose(v, 1, atol=1e-3)
+
+
+def test_avg_pool_matches_torch_semantics():
+    # count_include_pad=False: edge windows divide by the #valid taps.
+    x = jnp.ones((1, 4, 4, 1))
+    y = avg_pool_3x3_s2(x)
+    np.testing.assert_allclose(np.asarray(y), 1.0, atol=1e-6)
+    assert y.shape == (1, 2, 2, 1)
+
+
+def test_global_generator_shapes():
+    g = GlobalGenerator(
+        input_nc=2, output_nc=1, ngf=8, n_downsampling=2, n_blocks=2,
+        n_attn=1, input_size=(32, 64), heads=2, dim_head=8,
+        downsample_type="resconv", upsample_type="interpolate",
+    )
+    x = jnp.zeros((1, 32, 64, 2))
+    vars_ = g.init(jax.random.PRNGKey(0), x, train=False)
+    y = g.apply(vars_, x, train=False)
+    assert y.shape == (1, 32, 64, 1)
+    assert np.asarray(jnp.abs(y)).max() <= 1.0  # tanh head
+    # batch_stats exist only because of the attention stack
+    assert "batch_stats" in vars_
+    flat = flax.traverse_util.flatten_dict(vars_["batch_stats"])
+    assert all("attn" in "/".join(k) for k in flat)
+
+
+def test_global_generator_truncated():
+    g = GlobalGenerator(
+        input_nc=2, ngf=8, n_downsampling=2, n_blocks=1, n_attn=0,
+        input_size=(16, 32), include_head=False,
+    )
+    x = jnp.zeros((1, 16, 32, 2))
+    vars_ = g.init(jax.random.PRNGKey(0), x, train=False)
+    y = g.apply(vars_, x, train=False)
+    assert y.shape == (1, 16, 32, 8)  # ngf feature channels, no tanh head
+    params = flax.traverse_util.flatten_dict(vars_["params"])
+    assert not any("head" in k for k2 in params for k in k2)
+
+
+def test_local_enhancer_shapes():
+    g = LocalEnhancer(
+        input_nc=2, output_nc=1, ngf=4, n_downsample_global=2,
+        n_blocks_global=2, n_blocks_local=2, n_attn_global=1, n_attn_local=0,
+        input_size=(32, 64), heads_g=2, dim_head_g=8,
+        downsample_type="resconv", upsample_type="interpolate",
+    )
+    x = jnp.zeros((2, 32, 64, 2))
+    vars_ = g.init(jax.random.PRNGKey(0), x, train=False)
+    y = g.apply(vars_, x, train=False)
+    assert y.shape == (2, 32, 64, 1)
+
+
+def test_local_enhancer_with_local_attention():
+    g = LocalEnhancer(
+        input_nc=1, output_nc=1, ngf=4, n_downsample_global=1,
+        n_blocks_global=1, n_blocks_local=3, n_attn_global=0, n_attn_local=1,
+        input_size=(32, 64), heads_l=2, dim_head_l=8,
+    )
+    x = jnp.zeros((1, 32, 64, 1))
+    vars_ = g.init(jax.random.PRNGKey(0), x, train=False)
+    y = g.apply(vars_, x, train=False)
+    assert y.shape == (1, 32, 64, 1)
+    # shared modules appear once in the tree
+    params = flax.traverse_util.flatten_dict(vars_["params"])
+    names = {k[0] for k in params}
+    assert "local_attn_down_shared" in names and "local_attn_up_shared" in names
+
+
+def test_multiscale_discriminator():
+    d = MultiscaleDiscriminator(ndf=8, n_layers=3, num_D=3)
+    x = jnp.zeros((2, 64, 128, 3))
+    vars_ = d.init(jax.random.PRNGKey(0), x)
+    preds = d.apply(vars_, x)
+    assert len(preds) == 3
+    for feats in preds:
+        assert len(feats) == 5  # n_layers + 2 taps
+        assert feats[-1].shape[-1] == 1
+    # pyramid: each later result is computed on a 2x-smaller input
+    # (k4/s2/p2 conv maps H -> H//2 + 1: 64 -> 33, 32 -> 17, 16 -> 9)
+    assert [p[0].shape[1] for p in preds] == [33, 17, 9]
+
+
+def test_losses_scalar_and_grad():
+    d = MultiscaleDiscriminator(ndf=4, n_layers=2, num_D=2)
+    x = jnp.ones((1, 32, 32, 2))
+    vars_ = d.init(jax.random.PRNGKey(0), x)
+    fake = d.apply(vars_, x * 0.1)
+    real = d.apply(vars_, x)
+    g = gan_loss(fake, True)
+    f = feature_matching_loss(fake, real, n_layers_d=2, num_d=2)
+    assert g.shape == () and f.shape == ()
+    assert np.isfinite(float(g)) and np.isfinite(float(f))
+
+
+@pytest.mark.slow
+def test_flagship_config_param_count():
+    """train.sh flagship: netG local ngf 56, 3 downsamples, 4 global blocks,
+    3 attention blocks (6 heads x 128)."""
+    g = LocalEnhancer(
+        input_nc=2, output_nc=1, ngf=56, n_downsample_global=3,
+        n_blocks_global=4, n_blocks_local=3, n_attn_global=3, n_attn_local=0,
+        input_size=(128, 256), heads_g=6, dim_head_g=128, proj_factor_g=4,
+        downsample_type="resconv", upsample_type="interpolate",
+    )
+    x = jnp.zeros((1, 128, 256, 2))
+    vars_ = jax.eval_shape(lambda: g.init(jax.random.PRNGKey(0), x, train=False))
+    n = sum(int(np.prod(v.shape)) for v in jax.tree.leaves(vars_["params"]))
+    assert 10_000_000 < n < 120_000_000

@@ -1,0 +1,105 @@
+"""End-to-end train-step tests on a tiny geometry: losses finite, params
+update, D and G both learn signs, and the same step runs batch-sharded on an
+8-device virtual CPU mesh."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from mdctgan_tpu.models.discriminator import MultiscaleDiscriminator
+from mdctgan_tpu.models.generator import GlobalGenerator
+from mdctgan_tpu.ops.features import SpectralConfig, SpectralTransform
+from mdctgan_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from mdctgan_tpu.train.state import create_train_state
+from mdctgan_tpu.train.step import build_train_step, build_inference_fn
+
+# Tiny geometry: n_fft=64 -> spectro (bins, 32); segment 31*32=992 -> 32 bins.
+TINY = SpectralConfig(
+    n_fft=64, hop_length=32, win_length=64, segment_length=992,
+    lr_sampling_rate=16000, hr_sampling_rate=48000,
+)
+
+
+def make_setup(num_d=2, n_layers_d=2):
+    tf = SpectralTransform(TINY)
+    gen = GlobalGenerator(
+        input_nc=2, output_nc=1, ngf=4, n_downsampling=2, n_blocks=1,
+        n_attn=1, heads=2, dim_head=4, input_size=(32, 32),
+        downsample_type="resconv", upsample_type="interpolate",
+    )
+    disc = MultiscaleDiscriminator(ndf=4, n_layers=n_layers_d, num_D=num_d)
+    g_tx = optax.adam(2e-4, b1=0.5)
+    d_tx = optax.adam(2e-4, b1=0.5)
+    state = create_train_state(
+        jax.random.PRNGKey(0), gen, disc, g_tx, d_tx,
+        spectro_shape=(32, 32), g_in_channels=2, d_in_channels=3,
+    )
+    step = build_train_step(
+        gen, disc, tf, g_tx, d_tx, num_d=num_d, n_layers_d=n_layers_d,
+        donate=False,
+    )
+    return tf, gen, disc, state, step
+
+
+def make_batch(rng, b=4):
+    t = TINY.segment_length
+    hr = 0.1 * rng.standard_normal((b, t)).astype(np.float32)
+    lr = hr + 0.01 * rng.standard_normal((b, t)).astype(np.float32)
+    return {"lr_audio": jnp.asarray(lr), "hr_audio": jnp.asarray(hr)}
+
+
+def test_train_step_updates_and_finite(rng):
+    tf, gen, disc, state, step = make_setup()
+    batch = make_batch(rng)
+    new_state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
+    assert int(new_state.step) == 1
+    # both G and D moved
+    g_delta = jax.tree.map(lambda a, b: np.abs(np.asarray(a - b)).max(),
+                           state.g_params, new_state.g_params)
+    d_delta = jax.tree.map(lambda a, b: np.abs(np.asarray(a - b)).max(),
+                           state.d_params, new_state.d_params)
+    assert max(jax.tree.leaves(g_delta)) > 0
+    assert max(jax.tree.leaves(d_delta)) > 0
+
+
+def test_loss_decreases_over_steps(rng):
+    tf, gen, disc, state, step = make_setup()
+    batch = make_batch(rng)
+    first = None
+    for i in range(5):
+        state, metrics = step(state, batch, jax.random.PRNGKey(i))
+        if first is None:
+            first = float(metrics["loss_D"])
+    # D should get better at separating real/fake on a fixed batch
+    assert float(metrics["loss_D"]) < first
+
+
+def test_inference_fn_shapes(rng):
+    tf, gen, disc, state, step = make_setup()
+    infer = build_inference_fn(gen, tf, out_length=TINY.segment_length)
+    batch = make_batch(rng, b=2)
+    g_vars = {"params": state.g_params, "batch_stats": state.batch_stats}
+    sr_spec, sr_audio = infer(g_vars, batch["lr_audio"])
+    assert sr_spec.shape == (2, 1, 32, 32)
+    assert sr_audio.shape == (2, TINY.segment_length)
+    assert np.isfinite(np.asarray(sr_audio)).all()
+
+
+def test_train_step_multichip_mesh(rng):
+    """The same jitted step under an 8-device data-parallel mesh."""
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    tf, gen, disc, state, step = make_setup()
+    mesh = make_mesh(8)
+    state = replicate(state, mesh)
+    batch = shard_batch(make_batch(rng, b=8), mesh)
+    new_state, metrics = step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss_G"]))
+    # params stay replicated
+    leaf = jax.tree.leaves(new_state.g_params)[0]
+    assert leaf.sharding.is_fully_replicated
