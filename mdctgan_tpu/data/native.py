@@ -165,7 +165,9 @@ def write_wav16(path: str, data: np.ndarray, sample_rate: int) -> None:
         )
         if rc == 0:
             return
-    pcm = (np.clip(data, -1, 1) * 32767.0).astype("<i2")
+    # Scale by 32768 (matching the decode divisor) with round-to-nearest so a
+    # write/read roundtrip stays within half an LSB.
+    pcm = np.clip(np.rint(data * 32768.0), -32768, 32767).astype("<i2")
     with wave.open(path, "wb") as w:
         w.setnchannels(1)
         w.setsampwidth(2)

@@ -17,11 +17,25 @@ Everything works identically on a virtual CPU mesh
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Sequence, Tuple
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def honor_jax_platforms_env() -> None:
+    """Make ``JAX_PLATFORMS`` effective even when a sitecustomize registered
+    a backend plugin at interpreter startup (which defeats the plain env
+    var).  ``jax.config.update`` wins as long as no backend is initialized
+    yet, so entry points call this before touching any array."""
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        try:
+            jax.config.update("jax_platforms", plat)
+        except Exception:
+            pass
 
 
 def make_mesh(

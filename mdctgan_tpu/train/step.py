@@ -79,16 +79,30 @@ def build_train_step(
     num_d: int = 3,
     use_ganfeat: bool = True,
     donate: bool = True,
-) -> Callable[[GANTrainState, Dict[str, Array], Array], Tuple[GANTrainState, Dict[str, Array]]]:
+    use_pool: bool = False,
+) -> Callable[..., Tuple[GANTrainState, Dict[str, Array]]]:
+    """When ``use_pool`` the returned step takes two extra args
+    ``(pool_old, pool_mask)`` from ``ImagePool.presample`` — per-sample
+    replacements for the D_fake input (the reference's fake replay buffer,
+    util/image_pool.py) — and emits the current fake concat under the
+    ``"fake_concat"`` metrics key for ``ImagePool.commit``."""
     cfg = transform.cfg
+
+    def d_concat(lr_spec, img_spec):
+        return jnp.concatenate((lr_spec, transform.g_input(img_spec)), axis=1)
 
     def d_apply(d_params, lr_spec, img_spec):
         """D on the concatenated (LR, image[, abs]) channels
         (pix2pixHD_model.py:420-440): inputs are NCHW spectro images."""
-        x = jnp.concatenate((lr_spec, transform.g_input(img_spec)), axis=1)
-        return discriminator.apply({"params": d_params}, _nchw_to_nhwc(x))
+        return discriminator.apply(
+            {"params": d_params}, _nchw_to_nhwc(d_concat(lr_spec, img_spec))
+        )
 
-    def loss_fn(g_params, d_params, batch_stats, lr_audio, hr_audio, rng):
+    def d_apply_concat(d_params, concat):
+        return discriminator.apply({"params": d_params}, _nchw_to_nhwc(concat))
+
+    def loss_fn(g_params, d_params, batch_stats, lr_audio, hr_audio, rng,
+                pool_old, pool_mask):
         rng_lr, rng_hr = jax.random.split(rng)
         lr_spec, _, _ = transform.lr_forward(lr_audio, rng=rng_lr)
         hr_spec, _, _ = transform.hr_forward(hr_audio, rng=rng_hr)
@@ -103,7 +117,15 @@ def build_train_step(
         d_params_sg = jax.tree.map(jax.lax.stop_gradient, d_params)
         pred_fake_g = d_apply(d_params_sg, lr_spec, sr_spec)  # grads -> G only
         pred_real = d_apply(d_params, lr_spec, hr_spec)
-        pred_fake_d = d_apply(d_params, lr_spec, jax.lax.stop_gradient(sr_spec))
+        fake_concat = d_concat(lr_spec, jax.lax.stop_gradient(sr_spec))
+        if use_pool:
+            # Per-sample mix of replayed old fakes and current fakes
+            # (pix2pixHD_model.py:366-374 discriminate_F(use_pool=True)).
+            m = pool_mask.astype(fake_concat.dtype).reshape(-1, 1, 1, 1)
+            d_fake_in = m * pool_old + (1.0 - m) * fake_concat
+        else:
+            d_fake_in = fake_concat
+        pred_fake_d = d_apply_concat(d_params, d_fake_in)
 
         loss_g_gan = gan_loss(pred_fake_g, True, use_lsgan)
         loss_g_feat = (
@@ -126,9 +148,13 @@ def build_train_step(
             "loss_D": loss_d,
         }
         new_stats = updates["batch_stats"] if updates else batch_stats
+        if use_pool:
+            metrics["fake_concat"] = fake_concat
         return total, (metrics, new_stats)
 
-    def train_step(state: GANTrainState, batch: Dict[str, Array], rng: Array):
+    def train_step(state: GANTrainState, batch: Dict[str, Array], rng: Array,
+                   pool_old: Optional[Array] = None,
+                   pool_mask: Optional[Array] = None):
         grad_fn = jax.grad(loss_fn, argnums=(0, 1), has_aux=True)
         (g_grads, d_grads), (metrics, new_stats) = grad_fn(
             state.g_params,
@@ -137,6 +163,8 @@ def build_train_step(
             batch["lr_audio"],
             batch["hr_audio"],
             rng,
+            pool_old,
+            pool_mask,
         )
         g_updates, g_opt_state = g_tx.update(g_grads, state.g_opt_state, state.g_params)
         d_updates, d_opt_state = d_tx.update(d_grads, state.d_opt_state, state.d_params)

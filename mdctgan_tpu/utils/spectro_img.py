@@ -1,0 +1,65 @@
+"""Spectrogram/histogram/phase visual rendering (reference util/spectro_img.py:4-29).
+
+matplotlib agg-backend rendering of a normalized MDCT spectrogram into RGB
+arrays for TensorBoard / the HTML gallery.  Gated: returns None when
+matplotlib is unavailable so headless training never depends on it.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+try:
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    _HAVE_MPL = True
+except Exception:  # pragma: no cover
+    _HAVE_MPL = False
+
+
+def _fig_to_rgb(fig) -> np.ndarray:
+    fig.canvas.draw()
+    w, h = fig.canvas.get_width_height()
+    buf = np.frombuffer(fig.canvas.buffer_rgba(), np.uint8).reshape(h, w, 4)
+    return buf[..., :3].copy()
+
+
+def compute_visuals(
+    spectro: Optional[np.ndarray] = None,
+    pha: Optional[np.ndarray] = None,
+    abs_spectro: bool = False,
+) -> Tuple[Optional[np.ndarray], Optional[np.ndarray], Optional[np.ndarray]]:
+    """(spectro_img, hist_img, pha_img) RGB uint8 arrays (spectro_img.py:9-29).
+
+    ``spectro`` is a single (F, K) or (K, F) normalized spectrogram; the
+    reference renders pcolormesh of the map, a 100-bin histogram, and the
+    phase map when given.
+    """
+    if not _HAVE_MPL:
+        return None, None, None
+    spec_img = hist_img = pha_img = None
+    if spectro is not None:
+        s = np.asarray(spectro).squeeze()
+        fig, ax = plt.subplots(figsize=(6, 4), dpi=80)
+        m = ax.pcolormesh(s.T if s.shape[0] > s.shape[1] else s, cmap="magma")
+        fig.colorbar(m, ax=ax)
+        spec_img = _fig_to_rgb(fig)
+        plt.close(fig)
+
+        fig, ax = plt.subplots(figsize=(6, 4), dpi=80)
+        ax.hist(s.ravel(), bins=100)
+        hist_img = _fig_to_rgb(fig)
+        plt.close(fig)
+    if pha is not None:
+        p = np.asarray(pha).squeeze()
+        fig, ax = plt.subplots(figsize=(6, 4), dpi=80)
+        m = ax.pcolormesh(p.T if p.shape[0] > p.shape[1] else p, cmap="coolwarm")
+        fig.colorbar(m, ax=ax)
+        pha_img = _fig_to_rgb(fig)
+        plt.close(fig)
+    return spec_img, hist_img, pha_img

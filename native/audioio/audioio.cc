@@ -10,6 +10,7 @@
 // (VCTK ships 16-bit PCM WAV.)
 
 #include <atomic>
+#include <cmath>
 #include <condition_variable>
 #include <cstdint>
 #include <cstdio>
@@ -262,10 +263,12 @@ int audioio_write_wav16(const char* path, const float* data, uint64_t frames,
   std::fwrite(&data_bytes, 4, 1, f);
   std::vector<int16_t> pcm(frames);
   for (uint64_t i = 0; i < frames; ++i) {
-    float v = data[i];
-    if (v > 1.0f) v = 1.0f;
-    if (v < -1.0f) v = -1.0f;
-    pcm[i] = static_cast<int16_t>(v * 32767.0f);
+    // Scale by 32768 (matching the decode divisor) and round-to-nearest so a
+    // write/read roundtrip stays within half an LSB; clamp to int16 range.
+    float v = data[i] * 32768.0f;
+    if (v > 32767.0f) v = 32767.0f;
+    if (v < -32768.0f) v = -32768.0f;
+    pcm[i] = static_cast<int16_t>(std::lrintf(v));
   }
   std::fwrite(pcm.data(), 2, frames, f);
   std::fclose(f);

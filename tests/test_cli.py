@@ -1,0 +1,272 @@
+"""CLI layer tests: options parity, pool semantics, LR schedule, visualizer,
+and an end-to-end --debug training smoke run on the virtual CPU mesh."""
+
+import os
+import subprocess
+import sys
+import wave
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+# --------------------------------------------------------------------------
+# options
+# --------------------------------------------------------------------------
+
+def test_train_options_flag_parity(tmp_path):
+    from mdctgan_tpu.options import TrainOptions
+
+    argv = [
+        "--name", "t", "--checkpoints_dir", str(tmp_path),
+        "--lr_sampling_rate", "16000", "--sr_sampling_rate", "48000",
+        "--batchSize", "20", "--fp16", "--nThreads", "16", "--lr", "1.5e-4",
+        "--arcsinh_transform", "--abs_spectro", "--arcsinh_gain", "1000",
+        "--center", "--norm_range", "-1", "1", "--smooth", "0.0",
+        "--abs_norm", "--src_range", "-5", "5",
+        "--netG", "local", "--ngf", "56",
+        "--n_downsample_global", "3", "--n_blocks_global", "4",
+        "--n_blocks_attn_g", "3", "--dim_head_g", "128", "--heads_g", "6",
+        "--proj_factor_g", "4", "--n_blocks_attn_l", "0",
+        "--n_blocks_local", "3", "--fit_residual",
+        "--upsample_type", "interpolate", "--downsample_type", "resconv",
+        "--niter", "60", "--niter_decay", "60", "--num_D", "3",
+    ]
+    opt = TrainOptions().parse(argv)
+    assert opt.isTrain and opt.netG == "local" and opt.ngf == 56
+    assert opt.norm_range == [-1, 1] and opt.src_range == [-5, 5]
+    assert opt.segment_length == 32512  # (BINS-1)*HOP_LENGTH
+    assert os.path.exists(tmp_path / "t" / "opt.txt")
+
+
+def test_param_key_map_type():
+    from mdctgan_tpu.options import _param_key_map
+
+    assert _param_key_map("a:b,c:d") == {"a": "b", "c": "d"}
+
+
+def test_spectral_config_from_opt(tmp_path):
+    from mdctgan_tpu.options import TrainOptions, spectral_config_from_opt
+
+    opt = TrainOptions().parse(
+        ["--checkpoints_dir", str(tmp_path), "--arcsinh_transform",
+         "--lr_sampling_rate", "16000", "--center", "--fit_residual",
+         "--abs_norm", "--abs_spectro"]
+    )
+    cfg = spectral_config_from_opt(opt)
+    assert cfg.n_fft == 512 and cfg.up_ratio == 3.0
+    assert cfg.n_bins == 128 and cfg.fit_residual
+
+
+def test_test_options(tmp_path):
+    from mdctgan_tpu.options import TestOptions
+
+    opt = TestOptions().parse(["--checkpoints_dir", str(tmp_path)])
+    assert not opt.isTrain and opt.phase == "test"
+
+
+# --------------------------------------------------------------------------
+# ImagePool
+# --------------------------------------------------------------------------
+
+def test_pool_disabled_noop():
+    from mdctgan_tpu.utils.pool import ImagePool
+
+    pool = ImagePool(0)
+    old, mask = pool.presample((4, 3, 8, 8))
+    assert not pool.enabled and not mask.any()
+    pool.commit(np.ones((4, 3, 8, 8), np.float32))
+    assert pool.images == []
+
+
+def test_pool_fill_then_swap():
+    from mdctgan_tpu.utils.pool import ImagePool
+
+    pool = ImagePool(4, seed=0)
+    shape = (2, 1, 2, 2)
+    # first two batches fill the pool: masks all False, images stored
+    for k in range(2):
+        old, mask = pool.presample(shape)
+        assert not mask.any()
+        pool.commit(np.full(shape, float(k), np.float32))
+    assert len(pool.images) == 4
+    # subsequent batches: ~half swapped with stored images
+    swapped = 0
+    for k in range(50):
+        old, mask = pool.presample(shape)
+        cur = np.full(shape, 100.0 + k, np.float32)
+        for i in range(shape[0]):
+            if mask[i]:
+                swapped += 1
+                assert old[i].max() < 100.0 + k  # an older sample
+        pool.commit(cur)
+    assert len(pool.images) == 4
+    assert 20 < swapped < 80  # p=0.5 per sample over 100 draws
+
+
+# --------------------------------------------------------------------------
+# LR schedule
+# --------------------------------------------------------------------------
+
+def test_lr_schedule_matches_reference_decay():
+    from mdctgan_tpu.train.schedule import pix2pixhd_lr_schedule
+
+    lr0, niter, niter_decay, spe = 2e-4, 3, 4, 10
+    s = pix2pixhd_lr_schedule(lr0, niter, niter_decay, spe)
+    # constant through epoch `niter` (0-indexed epochs 0..niter-1 and the
+    # first decayed value applies from epoch index `niter` on)
+    assert float(s(0)) == pytest.approx(lr0)
+    assert float(s(niter * spe - 1)) == pytest.approx(lr0)
+    # epoch index niter (= epoch niter+1, 1-indexed): still lr0 in the
+    # reference until the END of that epoch; our schedule decays at its start
+    # by one step of lr0/niter_decay — check the linear ramp hits zero.
+    assert float(s((niter + niter_decay) * spe)) == pytest.approx(0.0)
+    mid = float(s((niter + 2) * spe))
+    assert 0.0 < mid < lr0
+
+
+# --------------------------------------------------------------------------
+# Visualizer
+# --------------------------------------------------------------------------
+
+def test_visualizer_sinks(tmp_path):
+    from types import SimpleNamespace
+
+    from mdctgan_tpu.utils.visualizer import Visualizer
+
+    opt = SimpleNamespace(
+        name="viz", checkpoints_dir=str(tmp_path), tf_log=False,
+        no_html=False, isTrain=True, display_winsize=256,
+    )
+    v = Visualizer(opt)
+    v.print_current_errors(1, 10, {"G_GAN": 0.5, "D_real": 0.2}, 0.1)
+    log = (tmp_path / "viz" / "loss_log.txt").read_text()
+    assert "G_GAN: 0.500" in log
+    spec = np.random.default_rng(0).standard_normal((64, 32)).astype(np.float32)
+    v.display_current_results({"lr_spectro": spec}, epoch=1, step=10)
+    assert os.path.exists(tmp_path / "viz" / "web" / "index.html")
+    imgs = os.listdir(tmp_path / "viz" / "web" / "images")
+    assert any("lr_spectro" in f for f in imgs)
+    v.close()
+
+
+def test_html_writer(tmp_path):
+    from mdctgan_tpu.utils.html import HTML
+
+    page = HTML(str(tmp_path / "web"), "t", refresh=5)
+    page.add_header("epoch [1]")
+    page.add_images(["a.jpg"], ["caption"], width=128)
+    page.save()
+    text = (tmp_path / "web" / "index.html").read_text()
+    assert "a.jpg" in text and "refresh" in text
+
+
+# --------------------------------------------------------------------------
+# end-to-end --debug smoke run (tiny geometry, virtual CPU devices)
+# --------------------------------------------------------------------------
+
+@pytest.fixture
+def wav_csv(tmp_path):
+    rng = np.random.default_rng(0)
+    names = []
+    for i in range(3):
+        data = (0.4 * rng.standard_normal(24000)).astype(np.float32)
+        pcm = np.clip(np.rint(data * 32768.0), -32768, 32767).astype("<i2")
+        p = tmp_path / f"s{i}.wav"
+        with wave.open(str(p), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(48000)
+            w.writeframes(pcm.tobytes())
+        names.append(f"s{i}.wav")
+    csv = tmp_path / "train.csv"
+    csv.write_text("\n".join(names) + "\n")
+    return csv
+
+
+def _run(args, cwd=REPO, timeout=900):
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env["JAX_PLATFORMS"] = "cpu"
+    return subprocess.run(
+        [sys.executable] + args, cwd=cwd, env=env,
+        capture_output=True, text=True, timeout=timeout,
+    )
+
+
+def test_train_debug_smoke(tmp_path, wav_csv):
+    ckpt = tmp_path / "ck"
+    r = _run([
+        "train.py", "--name", "smoke", "--checkpoints_dir", str(ckpt),
+        "--dataroot", str(wav_csv), "--evalroot", str(wav_csv),
+        "--debug", "--batchSize", "2", "--gpu_ids", "0,1",
+        "--lr_sampling_rate", "16000", "--center", "--arcsinh_transform",
+        "--abs_spectro", "--abs_norm", "--norm_range", "-1", "1",
+        "--fit_residual", "--netG", "global", "--ngf", "4",
+        "--n_downsample_global", "2", "--n_blocks_global", "1",
+        "--n_blocks_attn_g", "1", "--heads_g", "2", "--dim_head_g", "4",
+        "--num_D", "2", "--n_layers_D", "2", "--ndf", "4",
+        "--segment_length", "8128", "--n_fft", "128", "--hop_length", "64",
+        "--win_length", "128", "--bins", "128",
+        "--save_latest_freq", "1", "--eval_freq", "0", "--eval_size", "2",
+        "--nThreads", "2", "--no_html",
+    ])
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "End of epoch 1" in r.stdout
+    assert (ckpt / "smoke" / "opt.txt").exists()
+    assert (ckpt / "smoke" / "loss_log.txt").exists()
+    assert (ckpt / "smoke" / "ckpt").exists()
+
+
+def test_generate_audio_smoke(tmp_path, wav_csv):
+    """Save a tiny orbax checkpoint, then run the generate CLI against it."""
+    import jax
+
+    from mdctgan_tpu.models.discriminator import build_discriminator
+    from mdctgan_tpu.models.generator import build_generator
+    from mdctgan_tpu.options import TrainOptions, spectral_config_from_opt
+    from mdctgan_tpu.train.checkpoint import CheckpointManager
+    from mdctgan_tpu.train.schedule import make_optimizers
+    from mdctgan_tpu.train.state import create_train_state
+
+    flags = [
+        "--checkpoints_dir", str(tmp_path / "out"),
+        "--lr_sampling_rate", "16000", "--center", "--arcsinh_transform",
+        "--abs_spectro", "--abs_norm", "--norm_range", "-1", "1",
+        "--fit_residual", "--netG", "global", "--ngf", "4",
+        "--n_downsample_global", "2", "--n_blocks_global", "1",
+        "--n_blocks_attn_g", "1", "--heads_g", "2", "--dim_head_g", "4",
+        "--num_D", "2", "--n_layers_D", "2", "--ndf", "4",
+        "--segment_length", "8128", "--n_fft", "128", "--hop_length", "64",
+        "--win_length", "128", "--bins", "128",
+    ]
+    opt = TrainOptions().parse(flags + ["--name", "genckpt"], save=False)
+    cfg = spectral_config_from_opt(opt)
+    g_tx, d_tx = make_optimizers(opt.lr, opt.beta1, opt.niter, opt.niter_decay, 1)
+    state = create_train_state(
+        jax.random.PRNGKey(0), build_generator(opt), build_discriminator(opt),
+        g_tx, d_tx,
+        spectro_shape=(cfg.n_bins, cfg.n_fft // 2),
+        g_in_channels=opt.input_nc,
+        d_in_channels=opt.input_nc + opt.output_nc,
+    )
+    pretrain_dir = tmp_path / "pretrained"
+    mgr = CheckpointManager(str(pretrain_dir / "ckpt"))
+    mgr.save(state, epoch=1)
+    mgr.wait()
+    mgr.close()
+
+    wav = str(wav_csv.parent / "s0.wav")
+    r = _run([
+        "generate_audio.py", "--name", "gen", "--phase", "test",
+        "--dataroot", wav, "--batchSize", "2", "--gen_overlap", "512",
+        "--load_pretrain", str(pretrain_dir),
+    ] + flags)
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "LSD:" in r.stdout
+    out = tmp_path / "out" / "gen"
+    assert (out / "metric.txt").exists()
+    for f in ("sr_audio.wav", "lr_audio.wav", "hr_audio.wav"):
+        assert (out / f).exists()

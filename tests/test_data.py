@@ -106,8 +106,9 @@ def test_overlap_add_roundtrip(rng):
     idx = np.arange(8)[:, None] * stride + np.arange(seg_len)[None, :]
     segs = x[idx]
     out = overlap_add_segments(segs, seg_len, ov)
-    # interior samples covered by exactly one segment or a halved pair
-    np.testing.assert_allclose(out[ov:-ov], x[ov : len(out) - ov], atol=1e-5)
+    # stitcher crops `ov` head/tail (generate_audio.py:50); every remaining
+    # sample is covered by one full segment or a halved overlapping pair
+    np.testing.assert_allclose(out, x[ov : ov + len(out)], atol=1e-5)
 
 
 def test_input_pipeline(wav_dir):
