@@ -36,8 +36,9 @@ def flagship_spectral() -> SpectralConfig:
     )
 
 
-def flagship_generator() -> LocalEnhancer:
+def flagship_generator(dtype=None) -> LocalEnhancer:
     return LocalEnhancer(
+        dtype=dtype,
         input_nc=2,
         output_nc=1,
         ngf=56,
@@ -56,8 +57,8 @@ def flagship_generator() -> LocalEnhancer:
     )
 
 
-def flagship_discriminator() -> MultiscaleDiscriminator:
-    return MultiscaleDiscriminator(ndf=64, n_layers=3, num_D=3)
+def flagship_discriminator(dtype=None) -> MultiscaleDiscriminator:
+    return MultiscaleDiscriminator(ndf=64, n_layers=3, num_D=3, dtype=dtype)
 
 
 def tiny_spectral() -> SpectralConfig:

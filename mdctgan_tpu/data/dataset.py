@@ -114,11 +114,16 @@ class AudioTestDataset:
         segment_length: int,
         overlap: int = 0,
     ):
+        raw, sr = native.read(path)
+        self._init_from_array(raw, sr, segment_length, overlap)
+
+    def _init_from_array(
+        self, raw: np.ndarray, sr: int, segment_length: int, overlap: int
+    ) -> None:
         self.segment_length = int(segment_length)
         self.overlap = int(overlap)
-        raw, sr = native.read(path)
         self.in_sampling_rate = sr
-        raw = raw.astype(np.float32)
+        raw = np.asarray(raw, np.float32).reshape(-1)
         self.raw_audio = raw + (1e-4 - raw.mean())  # DC shift (:146)
         self.audio_len = len(self.raw_audio)
 
@@ -135,6 +140,20 @@ class AudioTestDataset:
             idx = np.arange(count)[:, None] * stride + np.arange(seg)[None, :]
             return padded[idx]
         return np.pad(audio, (0, seg - length))[None, :]
+
+
+class AudioAppDataset(AudioTestDataset):
+    """In-memory variant: takes a waveform array + its sample rate instead of
+    a file path (audio_dataset.py:187-205) — the embedding-API entry."""
+
+    def __init__(
+        self,
+        audio: np.ndarray,
+        sample_rate: int,
+        segment_length: int,
+        overlap: int = 0,
+    ):
+        self._init_from_array(audio, sample_rate, segment_length, overlap)
 
 
 def overlap_add_segments(

@@ -27,7 +27,7 @@ BatchNorm uses running stats (torch momentum 0.1 == flax momentum 0.9).
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Any, Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -64,6 +64,7 @@ class Attention2D(nn.Module):
     fmap_size: Tuple[int, int]
     heads: int = 4
     dim_head: int = 128
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -71,8 +72,11 @@ class Attention2D(nn.Module):
         heads, dh = self.heads, self.dim_head
         inner = heads * dh
         qkv = nn.Conv(
-            inner * 3, (1, 1), use_bias=False, kernel_init=conv_init(), name="to_qkv"
+            inner * 3, (1, 1), use_bias=False, kernel_init=conv_init(),
+            dtype=self.dtype, name="to_qkv"
         )(x)
+        # attention math itself stays in f32 (128-token map — negligible cost)
+        qkv = qkv.astype(jnp.float32)
         qkv = qkv.reshape(b, h * w, 3, heads, dh)
         q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))  # b,hd,n,d
         q = q * (dh ** -0.5)
@@ -112,6 +116,7 @@ class BottleBlock(nn.Module):
     proj_factor: int = 4
     heads: int = 4
     dim_head: int = 128
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x: Array, train: bool = True) -> Array:
@@ -121,21 +126,24 @@ class BottleBlock(nn.Module):
             # (kernel 1 stride 1 since downsample=False), conv->BN->act.
             s = nn.Conv(
                 self.dim_out, (1, 1), use_bias=False, kernel_init=conv_init(),
-                name="shortcut_conv",
+                dtype=self.dtype, name="shortcut_conv",
             )(x)
             s = BatchNorm(not train, name="shortcut_bn")(s)
             shortcut = nn.relu(s)
         attn_dim_in = self.dim_out // self.proj_factor
         h = nn.Conv(
-            attn_dim_in, (1, 1), use_bias=False, kernel_init=conv_init(), name="proj_in"
+            attn_dim_in, (1, 1), use_bias=False, kernel_init=conv_init(),
+            dtype=self.dtype, name="proj_in"
         )(x)
         h = BatchNorm(not train, name="bn1")(h)
         h = nn.relu(h)
-        h = Attention2D(self.fmap_size, self.heads, self.dim_head, name="attn")(h)
+        h = Attention2D(self.fmap_size, self.heads, self.dim_head,
+                        dtype=self.dtype, name="attn")(h)
         h = BatchNorm(not train, name="bn2")(h)
         h = nn.relu(h)
         h = nn.Conv(
-            self.dim_out, (1, 1), use_bias=False, kernel_init=conv_init(), name="proj_out"
+            self.dim_out, (1, 1), use_bias=False, kernel_init=conv_init(),
+            dtype=self.dtype, name="proj_out"
         )(h)
         h = BatchNorm(not train, name="bn3")(h)
         return nn.relu(h + shortcut)
@@ -154,6 +162,7 @@ class BottleStack(nn.Module):
     proj_factor: int = 4
     heads: int = 4
     dim_head: int = 128
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x: Array, train: bool = True) -> Array:
@@ -164,6 +173,7 @@ class BottleStack(nn.Module):
                 self.proj_factor,
                 self.heads,
                 self.dim_head,
+                dtype=self.dtype,
                 name=f"block{i}",
             )(x, train=train)
         return x

@@ -8,10 +8,11 @@ feature-matching loss; the final element is the patch logit map.
 
 from __future__ import annotations
 
-from typing import List
+from typing import Any, List, Optional
 
 import flax.linen as nn
 import jax
+import jax.numpy as jnp
 
 from mdctgan_tpu.models.layers import Conv, avg_pool_3x3_s2, instance_norm, leaky_relu
 
@@ -25,25 +26,27 @@ class NLayerDiscriminator(nn.Module):
     ndf: int = 64
     n_layers: int = 3
     use_sigmoid: bool = False
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x: Array) -> List[Array]:
         feats = []
         # padw = ceil((4-1)/2) = 2
-        h = Conv(self.ndf, 4, 2, 2, name="layer0")(x)
+        h = Conv(self.ndf, 4, 2, 2, dtype=self.dtype, name="layer0")(x)
         h = leaky_relu(h)
         feats.append(h)
         nf = self.ndf
         for n in range(1, self.n_layers):
             nf = min(nf * 2, 512)
-            h = Conv(nf, 4, 2, 2, name=f"layer{n}")(h)
+            h = Conv(nf, 4, 2, 2, dtype=self.dtype, name=f"layer{n}")(h)
             h = leaky_relu(instance_norm(h))
             feats.append(h)
         nf = min(nf * 2, 512)
-        h = Conv(nf, 4, 1, 2, name=f"layer{self.n_layers}")(h)
+        h = Conv(nf, 4, 1, 2, dtype=self.dtype, name=f"layer{self.n_layers}")(h)
         h = leaky_relu(instance_norm(h))
         feats.append(h)
-        h = Conv(1, 4, 1, 2, name=f"layer{self.n_layers + 1}")(h)
+        h = Conv(1, 4, 1, 2, dtype=self.dtype, name=f"layer{self.n_layers + 1}")(h)
+        h = h.astype(jnp.float32)
         if self.use_sigmoid:
             h = nn.sigmoid(h)
         feats.append(h)
@@ -61,6 +64,7 @@ class MultiscaleDiscriminator(nn.Module):
     n_layers: int = 3
     num_D: int = 3
     use_sigmoid: bool = False
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x: Array) -> List[List[Array]]:
@@ -69,7 +73,7 @@ class MultiscaleDiscriminator(nn.Module):
         for i in range(self.num_D):
             # scale index num_D-1-i sees the i-times-downsampled input
             d = NLayerDiscriminator(
-                self.ndf, self.n_layers, self.use_sigmoid,
+                self.ndf, self.n_layers, self.use_sigmoid, dtype=self.dtype,
                 name=f"scale{self.num_D - 1 - i}",
             )
             results.append(d(current))
@@ -86,4 +90,5 @@ def build_discriminator(opt) -> MultiscaleDiscriminator:
         n_layers=get("n_layers_D", 3),
         num_D=get("num_D", 2),
         use_sigmoid=bool(get("no_lsgan", False)),
+        dtype=jnp.bfloat16 if get("fp16", False) else None,
     )

@@ -15,10 +15,11 @@ optax.multi_transform — the idiomatic JAX equivalent.
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Any, Optional, Tuple
 
 import flax.linen as nn
 import jax
+import jax.numpy as jnp
 
 from mdctgan_tpu.models.attention import BottleStack
 from mdctgan_tpu.models.layers import (
@@ -35,19 +36,19 @@ from mdctgan_tpu.models.layers import (
 Array = jax.Array
 
 
-def _downsample_layer(kind: str, in_f: int, out_f: int, name: str):
+def _downsample_layer(kind: str, in_f: int, out_f: int, name: str, dtype=None):
     if kind == "conv":
-        return Conv(out_f, 3, 2, 1, name=name)
+        return Conv(out_f, 3, 2, 1, dtype=dtype, name=name)
     if kind == "resconv":
-        return ConvResBlock(in_f, out_f, 3, 2, 1, name=name)
+        return ConvResBlock(in_f, out_f, 3, 2, 1, dtype=dtype, name=name)
     raise NotImplementedError(f"downsample layer [{kind}] is not found")
 
 
-def _upsample_layer(kind: str, in_f: int, out_f: int, name: str):
+def _upsample_layer(kind: str, in_f: int, out_f: int, name: str, dtype=None):
     if kind == "transconv":
-        return ConvTransposed(out_f, 3, 2, name=name)
+        return ConvTransposed(out_f, 3, 2, dtype=dtype, name=name)
     if kind == "interpolate":
-        return InterpolateUpsample(in_f, out_f, name=name)
+        return InterpolateUpsample(in_f, out_f, dtype=dtype, name=name)
     raise NotImplementedError(f"upsample layer [{kind}] is not found")
 
 
@@ -74,17 +75,19 @@ class GlobalGenerator(nn.Module):
     downsample_type: str = "conv"
     upsample_type: str = "transconv"
     include_head: bool = True
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x: Array, train: bool = True) -> Array:
         ngf = self.ngf
         h = reflect_pad(x, 3)
-        h = Conv(ngf, 7, name="stem")(h)
+        h = Conv(ngf, 7, dtype=self.dtype, name="stem")(h)
         h = nn.relu(instance_norm(h))
         for i in range(self.n_downsampling):
             mult = 2 ** i
             h = _downsample_layer(
-                self.downsample_type, ngf * mult, ngf * mult * 2, f"down{i}"
+                self.downsample_type, ngf * mult, ngf * mult * 2, f"down{i}",
+                dtype=self.dtype,
             )(h)
             h = nn.relu(instance_norm(h))
 
@@ -100,9 +103,10 @@ class GlobalGenerator(nn.Module):
                     proj_factor=self.proj_factor,
                     heads=self.heads,
                     dim_head=self.dim_head,
+                    dtype=self.dtype,
                     name="attn",
                 )(h, train=train)
-            h = ResnetBlock(ngf * mult, name=f"res{i}")(h)
+            h = ResnetBlock(ngf * mult, dtype=self.dtype, name=f"res{i}")(h)
         if self.n_blocks == 0 and self.n_attn > 0:  # attention-only bottleneck
             h = BottleStack(
                 dim_out=ngf * mult,
@@ -111,20 +115,22 @@ class GlobalGenerator(nn.Module):
                 proj_factor=self.proj_factor,
                 heads=self.heads,
                 dim_head=self.dim_head,
+                dtype=self.dtype,
                 name="attn",
             )(h, train=train)
 
         for i in range(self.n_downsampling):
             mult = 2 ** (self.n_downsampling - i)
             h = _upsample_layer(
-                self.upsample_type, ngf * mult, ngf * mult // 2, f"up{i}"
+                self.upsample_type, ngf * mult, ngf * mult // 2, f"up{i}",
+                dtype=self.dtype,
             )(h)
             h = nn.relu(instance_norm(h))
         if not self.include_head:
             return h
         h = reflect_pad(h, 3)
-        h = Conv(self.output_nc, 7, name="head")(h)
-        return nn.tanh(h)
+        h = Conv(self.output_nc, 7, dtype=self.dtype, name="head")(h)
+        return nn.tanh(h.astype(jnp.float32))
 
 
 class LocalEnhancer(nn.Module):
@@ -151,6 +157,7 @@ class LocalEnhancer(nn.Module):
     dim_head_l: int = 128
     downsample_type: str = "conv"
     upsample_type: str = "transconv"
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x: Array, train: bool = True) -> Array:
@@ -174,15 +181,17 @@ class LocalEnhancer(nn.Module):
             downsample_type=self.downsample_type,
             upsample_type=self.upsample_type,
             include_head=False,
+            dtype=self.dtype,
             name="global",
         )(pooled, train=train)
 
         # --- local enhancer downsample stem (networks.py:207-211) ---------
         ngf_l = self.ngf * (2 ** (self.n_local_enhancers - 1))
         h = reflect_pad(x, 3)
-        h = Conv(ngf_l, 7, name="local_stem")(h)
+        h = Conv(ngf_l, 7, dtype=self.dtype, name="local_stem")(h)
         h = nn.relu(instance_norm(h))
-        h = _downsample_layer(self.downsample_type, ngf_l, ngf_l * 2, "local_down")(h)
+        h = _downsample_layer(self.downsample_type, ngf_l, ngf_l * 2, "local_down",
+                              dtype=self.dtype)(h)
         h = nn.relu(instance_norm(h))
 
         # --- fuse and refine (networks.py:265-266: add, then upsample branch)
@@ -197,11 +206,13 @@ class LocalEnhancer(nn.Module):
                 # repeats the SAME module -> shared weights; reproduced here
                 # by calling one module instance multiple times.
                 h = _downsample_layer(
-                    self.downsample_type, ngf_l * 2, ngf_l, "local_attn_down0"
+                    self.downsample_type, ngf_l * 2, ngf_l, "local_attn_down0",
+                    dtype=self.dtype,
                 )(h)
                 h = nn.relu(instance_norm(h))
                 shared_down = _downsample_layer(
-                    self.downsample_type, ngf_l, ngf_l, "local_attn_down_shared"
+                    self.downsample_type, ngf_l, ngf_l, "local_attn_down_shared",
+                    dtype=self.dtype,
                 )
                 for _ in range(2):
                     h = nn.relu(instance_norm(shared_down(h)))
@@ -212,20 +223,23 @@ class LocalEnhancer(nn.Module):
                     proj_factor=self.proj_factor_l,
                     heads=self.heads_l,
                     dim_head=self.dim_head_l,
+                    dtype=self.dtype,
                     name="local_attn",
                 )(h, train=train)
-            h = ResnetBlock(ngf_l * 2, name=f"local_res{i}")(h)
+            h = ResnetBlock(ngf_l * 2, dtype=self.dtype, name=f"local_res{i}")(h)
         if self.n_attn_local > 0:
             shared_up = _upsample_layer(
-                self.upsample_type, ngf_l * 2, ngf_l * 2, "local_attn_up_shared"
+                self.upsample_type, ngf_l * 2, ngf_l * 2, "local_attn_up_shared",
+                dtype=self.dtype,
             )
             for _ in range(3):
                 h = nn.relu(instance_norm(shared_up(h)))
-        h = _upsample_layer(self.upsample_type, ngf_l * 2, ngf_l, "local_up")(h)
+        h = _upsample_layer(self.upsample_type, ngf_l * 2, ngf_l, "local_up",
+                            dtype=self.dtype)(h)
         h = nn.relu(instance_norm(h))
         h = reflect_pad(h, 3)
-        h = Conv(self.output_nc, 7, name="local_head")(h)
-        return nn.tanh(h)
+        h = Conv(self.output_nc, 7, dtype=self.dtype, name="local_head")(h)
+        return nn.tanh(h.astype(jnp.float32))
 
 
 def build_generator(opt) -> nn.Module:
@@ -241,6 +255,7 @@ def build_generator(opt) -> nn.Module:
         input_size=input_size,
         downsample_type=get("downsample_type", "conv"),
         upsample_type=get("upsample_type", "transconv"),
+        dtype=jnp.bfloat16 if get("fp16", False) else None,
     )
     if kind == "global":
         return GlobalGenerator(

@@ -21,7 +21,12 @@ Array = jax.Array
 
 
 def instance_norm(x: Array, eps: float = 1e-5) -> Array:
-    """InstanceNorm2d(affine=False): normalize each (sample, channel) over HW."""
+    """InstanceNorm2d(affine=False): normalize each (sample, channel) over HW.
+
+    Statistics always in float32 (matching torch AMP, which keeps norms in
+    fp32); output returns to f32 — the next conv casts back down under a
+    bf16 policy."""
+    x = x.astype(jnp.float32)
     mean = jnp.mean(x, axis=(1, 2), keepdims=True)
     var = jnp.var(x, axis=(1, 2), keepdims=True)
     return (x - mean) * jax.lax.rsqrt(var + eps)
@@ -60,13 +65,18 @@ def conv_init() -> Callable:
 
 
 class Conv(nn.Module):
-    """Plain conv2d with explicit symmetric zero padding (torch-style)."""
+    """Plain conv2d with explicit symmetric zero padding (torch-style).
+
+    ``dtype`` is the COMPUTE dtype (params stay float32): bf16 here is the
+    TPU equivalent of the reference's AMP autocast (train.py:65-70) — MXU
+    runs at 2x bf16 throughput and needs no GradScaler."""
 
     features: int
     kernel: int
     stride: int = 1
     padding: int = 0
     use_bias: bool = True
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -77,6 +87,7 @@ class Conv(nn.Module):
             padding=((self.padding, self.padding), (self.padding, self.padding)),
             use_bias=self.use_bias,
             kernel_init=conv_init(),
+            dtype=self.dtype,
             name="conv",
         )(x)
 
@@ -88,6 +99,7 @@ class ConvTransposed(nn.Module):
     features: int
     kernel: int = 3
     stride: int = 2
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -104,6 +116,7 @@ class ConvTransposed(nn.Module):
             padding=(pad, pad),
             use_bias=True,
             kernel_init=conv_init(),
+            dtype=self.dtype,
             transpose_kernel=True,
             name="conv",
         )(x)
@@ -115,14 +128,15 @@ class ResnetBlock(nn.Module):
     x + IN(conv(relu(IN(conv(pad(x)))))) with affine-free instance norm."""
 
     dim: int
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         h = reflect_pad(x, 1)
-        h = Conv(self.dim, 3, name="conv1")(h)
+        h = Conv(self.dim, 3, dtype=self.dtype, name="conv1")(h)
         h = nn.relu(instance_norm(h))
         h = reflect_pad(h, 1)
-        h = Conv(self.dim, 3, name="conv2")(h)
+        h = Conv(self.dim, 3, dtype=self.dtype, name="conv2")(h)
         h = instance_norm(h)
         return x + h
 
@@ -136,12 +150,14 @@ class ConvResBlock(nn.Module):
     kernel: int = 3
     stride: int = 2
     padding: int = 1
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        x = Conv(self.in_features, self.kernel, self.stride, self.padding, name="conv1")(x)
-        res = Conv(self.out_features, 3, 1, 1, name="conv_res")(x)
-        x = Conv(self.out_features, 5, 1, 2, name="conv2")(x)
+        x = Conv(self.in_features, self.kernel, self.stride, self.padding,
+                 dtype=self.dtype, name="conv1")(x)
+        res = Conv(self.out_features, 3, 1, 1, dtype=self.dtype, name="conv_res")(x)
+        x = Conv(self.out_features, 5, 1, 2, dtype=self.dtype, name="conv2")(x)
         return x + res
 
 
@@ -151,11 +167,12 @@ class InterpolateUpsample(nn.Module):
 
     in_features: int
     out_features: int
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         x = upsample_nearest_2x(x)
-        res = Conv(self.out_features, 3, 1, 1, name="conv_res")(x)
-        x = Conv(self.out_features, 5, 1, 1, name="conv1")(x)
-        x = Conv(self.out_features, 3, 1, 2, name="conv2")(x)
+        res = Conv(self.out_features, 3, 1, 1, dtype=self.dtype, name="conv_res")(x)
+        x = Conv(self.out_features, 5, 1, 1, dtype=self.dtype, name="conv1")(x)
+        x = Conv(self.out_features, 3, 1, 2, dtype=self.dtype, name="conv2")(x)
         return x + res

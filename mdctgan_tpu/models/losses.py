@@ -47,8 +47,10 @@ def feature_matching_loss(
     total = 0.0
     for i in range(num_d):
         for j in range(len(pred_fake[i]) - 1):
-            target = jax.lax.stop_gradient(pred_real[i][j])
+            # intermediate feats may be bf16 under the fp16 policy; reduce in
+            # f32 so the loss scalar keeps full precision
+            target = jax.lax.stop_gradient(pred_real[i][j]).astype(jnp.float32)
             total = total + d_weights * feat_weights * lambda_feat * jnp.mean(
-                jnp.abs(pred_fake[i][j] - target)
+                jnp.abs(pred_fake[i][j].astype(jnp.float32) - target)
             )
     return total

@@ -186,6 +186,15 @@ class TrainOptions(BaseOptions):
         p.add_argument("--no_lsgan", action="store_true")
         p.add_argument("--pool_size", type=int, default=0)
 
+        # TPU-native additions (no reference equivalent — SURVEY.md §5.1
+        # records the reference has no profiler; these are additive flags)
+        p.add_argument("--profile_dir", type=str, default="",
+                       help="write a jax.profiler trace here")
+        p.add_argument("--profile_step", type=int, default=8,
+                       help="global step to start the trace at")
+        p.add_argument("--profile_nsteps", type=int, default=4,
+                       help="number of steps to trace")
+
         # STFT params (train_options.py:63-73)
         p.add_argument("--lr_sampling_rate", type=int, default=LR_SAMPLE_RATE)
         p.add_argument("--hr_sampling_rate", type=int, default=HR_SAMPLE_RATE)

@@ -270,3 +270,33 @@ def test_generate_audio_smoke(tmp_path, wav_csv):
     assert (out / "metric.txt").exists()
     for f in ("sr_audio.wav", "lr_audio.wav", "hr_audio.wav"):
         assert (out / f).exists()
+
+
+def test_api_create_model_and_upsample(tmp_path):
+    """High-level API: create_model + one-call upsample of an in-memory wave."""
+    import jax
+    import numpy as np
+
+    from mdctgan_tpu.api import create_model, upsample
+    from mdctgan_tpu.options import TrainOptions
+
+    opt = TrainOptions().parse(
+        ["--checkpoints_dir", str(tmp_path), "--name", "api",
+         "--lr_sampling_rate", "16000", "--center", "--arcsinh_transform",
+         "--abs_spectro", "--abs_norm", "--norm_range", "-1", "1",
+         "--fit_residual", "--netG", "global", "--ngf", "4",
+         "--n_downsample_global", "2", "--n_blocks_global", "1",
+         "--n_blocks_attn_g", "1", "--heads_g", "2", "--dim_head_g", "4",
+         "--num_D", "2", "--n_layers_D", "2", "--ndf", "4",
+         "--segment_length", "8128", "--n_fft", "128", "--hop_length", "64",
+         "--win_length", "128", "--bins", "128"],
+        save=False,
+    )
+    model = create_model(opt, is_train=False)
+    assert model.train_step is None and model.state is not None
+    wave = 0.2 * np.sin(
+        2 * np.pi * 440 * np.arange(20000) / 48000
+    ).astype(np.float32)
+    out = upsample(wave, 48000, model.g_vars(), model, batch_size=2)
+    assert out.ndim == 1 and len(out) >= 20000
+    assert np.isfinite(out).all()

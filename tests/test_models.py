@@ -133,3 +133,50 @@ def test_flagship_config_param_count():
     vars_ = jax.eval_shape(lambda: g.init(jax.random.PRNGKey(0), x, train=False))
     n = sum(int(np.prod(v.shape)) for v in jax.tree.leaves(vars_["params"]))
     assert 10_000_000 < n < 120_000_000
+
+
+def test_bf16_compute_policy():
+    """--fp16 equivalent: params stay f32, convs compute in bf16, outputs and
+    losses come back f32 and finite."""
+    import jax
+    import jax.numpy as jnp
+
+    from mdctgan_tpu.configs import tiny_generator
+
+    gen = tiny_generator()
+    gen_bf16 = gen.clone(dtype=jnp.bfloat16)
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, 32, 32, 2)), jnp.float32
+    )
+    v = gen.init(jax.random.PRNGKey(0), x, train=False)
+    for leaf in jax.tree.leaves(v["params"]):
+        assert leaf.dtype == jnp.float32
+    out32 = gen.apply(v, x, train=False)
+    out16 = gen_bf16.apply(v, x, train=False)
+    assert out16.dtype == jnp.float32  # head casts back up
+    assert np.isfinite(np.asarray(out16)).all()
+    # same network, reduced precision: outputs close but not identical
+    np.testing.assert_allclose(np.asarray(out16), np.asarray(out32), atol=0.1)
+
+
+def test_bf16_grads_finite():
+    import jax
+    import jax.numpy as jnp
+
+    from mdctgan_tpu.configs import tiny_generator
+
+    gen = tiny_generator().clone(dtype=jnp.bfloat16)
+    x = jnp.asarray(
+        np.random.default_rng(1).standard_normal((1, 32, 32, 2)), jnp.float32
+    )
+    v = gen.init(jax.random.PRNGKey(0), x, train=False)
+
+    def loss(params):
+        out = gen.apply({"params": params, **{k: v[k] for k in v if k != "params"}},
+                        x, train=False)
+        return jnp.mean(out ** 2)
+
+    g = jax.grad(loss)(v["params"])
+    for leaf in jax.tree.leaves(g):
+        assert np.isfinite(np.asarray(leaf, np.float32)).all()
+        assert leaf.dtype == jnp.float32

@@ -204,6 +204,7 @@ def main() -> None:
 
     rng = jax.random.PRNGKey(opt.seed)
     total_steps = int(jax.device_get(state.step))
+    profiling = False
     try:
         for epoch in range(start_epoch, opt.niter + opt.niter_decay + 1):
             epoch_start = time.time()
@@ -225,6 +226,17 @@ def main() -> None:
                     state, metrics = step_fn(state, batch, sub)
                 total_steps += 1
                 epoch_iter = it + 1
+
+                # jax.profiler trace window (SURVEY.md §5.1 — absent in the
+                # reference; here from day one)
+                if opt.profile_dir and total_steps == opt.profile_step:
+                    jax.profiler.start_trace(opt.profile_dir)
+                    profiling = True
+                elif profiling and total_steps >= opt.profile_step + opt.profile_nsteps:
+                    jax.block_until_ready(metrics["loss_G"])
+                    jax.profiler.stop_trace()
+                    profiling = False
+                    print(f"profiler trace written to {opt.profile_dir}")
 
                 if total_steps % opt.print_freq == 0:
                     errors = {k: float(v) for k, v in metrics.items()}
@@ -273,6 +285,9 @@ def main() -> None:
                     use_ganfeat=not opt.no_ganFeat_loss, use_pool=pool.enabled,
                 )
     finally:
+        if profiling:
+            jax.profiler.stop_trace()
+            print(f"profiler trace written to {opt.profile_dir}")
         pipeline.close()
         visualizer.close()
         mgr.close()
