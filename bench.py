@@ -42,6 +42,75 @@ def main() -> None:
     mdct_ms = timeit(fwd, x)
     print(f"[bench] MDCT fwd 64x32512: {mdct_ms:.3f} ms", file=sys.stderr)
 
+    # Secondary: fused Pallas MDCT+normalize kernel vs the XLA path.
+    try:
+        from mdctgan_tpu.ops.pallas_mdct import is_tpu, mdct_spectro_fused
+
+        if is_tpu():
+            fused = lambda a: mdct_spectro_fused(a, gain=1000.0, scale=0.5, shift=0.25)
+            fused_ms = timeit(fused, x)
+            unfused = jax.jit(
+                lambda a: jnp.arcsinh(1000.0 * m(a)) / np.log(10.0) * 0.5 + 0.25
+            )
+            unfused_ms = timeit(unfused, x)
+            print(
+                f"[bench] MDCT+normalize 64x32512: fused pallas {fused_ms:.3f} ms"
+                f" vs XLA {unfused_ms:.3f} ms ({unfused_ms / fused_ms:.2f}x)",
+                file=sys.stderr,
+            )
+    except Exception as e:
+        print(f"[bench] pallas bench skipped: {e!r}", file=sys.stderr)
+
+    # Secondary: flagship G+D train step (batch 20, bf16 — the BASELINE.json
+    # config-4 geometry; the reference publishes no step time to compare).
+    try:
+        import optax
+
+        from mdctgan_tpu.configs import (
+            flagship_discriminator,
+            flagship_generator,
+            flagship_spectral,
+        )
+        from mdctgan_tpu.ops.features import SpectralTransform
+        from mdctgan_tpu.train.state import create_train_state
+        from mdctgan_tpu.train.step import build_train_step
+
+        cfg = flagship_spectral()
+        tf_ = SpectralTransform(cfg)
+        gen = flagship_generator(dtype=jnp.bfloat16)
+        disc = flagship_discriminator(dtype=jnp.bfloat16)
+        g_tx = optax.adam(2e-4, b1=0.5)
+        d_tx = optax.adam(2e-4, b1=0.5)
+        state = create_train_state(
+            jax.random.PRNGKey(0), gen, disc, g_tx, d_tx,
+            spectro_shape=(cfg.n_bins, cfg.n_fft // 2),
+            g_in_channels=2, d_in_channels=3,
+        )
+        step = build_train_step(gen, disc, tf_, g_tx, d_tx, donate=False)
+        bsz = 20
+        batch = {
+            "lr_audio": jnp.asarray(
+                0.1 * rng.standard_normal((bsz, cfg.segment_length)), jnp.float32
+            ),
+            "hr_audio": jnp.asarray(
+                0.1 * rng.standard_normal((bsz, cfg.segment_length)), jnp.float32
+            ),
+        }
+        key = jax.random.PRNGKey(1)
+
+        def one_step(s, b):
+            new_s, metrics = step(s, b, key)
+            return metrics["loss_G"]
+
+        step_ms = timeit(one_step, state, batch, warmup=2, iters=10)
+        print(
+            f"[bench] flagship G+D train step (batch 20, bf16): {step_ms:.2f} ms"
+            f" = {1e3 / step_ms:.2f} steps/s/chip",
+            file=sys.stderr,
+        )
+    except Exception as e:
+        print(f"[bench] train-step bench skipped: {e!r}", file=sys.stderr)
+
     # Secondary: flagship inference RTF (1 segment = 32512/48000 s of audio).
     try:
         from mdctgan_tpu.configs import flagship_generator, flagship_spectral

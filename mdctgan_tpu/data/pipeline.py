@@ -100,9 +100,12 @@ class InputPipeline:
                 host = self._host_batch()
             except StopIteration:
                 break
-            wave = jnp.asarray(host)
             if self.sharding is not None:
-                wave = jax.device_put(wave, self.sharding)
+                from mdctgan_tpu.parallel.mesh import put_global_batch
+
+                wave = put_global_batch(host, self.sharding)
+            else:
+                wave = jnp.asarray(host)
             self._rng, sub = jax.random.split(self._rng)
             batch = self._degrade(wave, sub)
             while not self._stop.is_set():

@@ -145,7 +145,17 @@ class MDCT:
     """Forward MDCT: waveform ``(..., T)`` -> spectrum ``(..., F, n_fft//2)``.
 
     TPU-native replacement for the reference ``MDCT4``/``FastMDCT4`` modules
-    (models/mdct.py:359-425, 492-628): windowing + DCT-IV are one MXU matmul.
+    (models/mdct.py:359-425, 492-628).
+
+    ``method="matmul"`` (default): windowing + DCT-IV as one MXU matmul — the
+    fast path on TPU for the shipped n_fft=512 (the whole transform is a
+    (B*F, 512) @ (512, 256) contraction).
+
+    ``method="fft"``: the reference's twiddle/FFT factorization (pre-twiddle
+    exp(-i*pi*n/N) -> N-point FFT -> post-twiddle real part) on the XLA FFT —
+    the algorithmic analogue of MDCT4/FastMDCT4 for large n_fft where
+    O(N log N) beats the dense matmul.  Both methods agree to fp32 precision
+    (tests/test_mdct.py).
     """
 
     def __init__(
@@ -158,6 +168,7 @@ class MDCT:
         pad_mode: str = "constant",
         dtype=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
+        method: str = "matmul",
     ):
         self.n_fft = n_fft
         self.win_length = int(win_length or n_fft)
@@ -165,6 +176,9 @@ class MDCT:
         self.center = center
         self.pad_mode = pad_mode
         self.precision = precision
+        if method not in ("matmul", "fft"):
+            raise ValueError(f"unknown MDCT method {method!r}")
+        self.method = method
         if self.win_length > n_fft:
             raise ValueError("win_length must be <= n_fft")
         if self.hop_length > self.win_length:
@@ -176,11 +190,32 @@ class MDCT:
             mdct_matrix(n_fft, win if win is not None else np.ones(self.win_length)),
             dtype=dtype,
         )
+        if method == "fft":
+            n = np.arange(n_fft, dtype=np.float64)
+            k = np.arange(1, n_fft, 2, dtype=np.float64)
+            self._pre = jnp.asarray(np.exp(-1j * np.pi / n_fft * n), jnp.complex64)
+            self._post = jnp.asarray(
+                np.exp(-1j * (np.pi / (2 * n_fft) + np.pi / 4) * k), jnp.complex64
+            )
+            w = np.zeros(n_fft)
+            w[: self.win_length] = (
+                np.ones(self.win_length) if win is None else win
+            )
+            self._win_padded = jnp.asarray(w, dtype)
 
     def __call__(self, signal: Array) -> Array:
         frames = frame_signal(
             signal, self.win_length, self.hop_length, self.center, self.pad_mode
         )
+        if self.method == "fft":
+            # reference MDCT4.forward math (models/mdct.py:408-425)
+            f = frames
+            if self.win_length < self.n_fft:
+                pad = [(0, 0)] * (f.ndim - 1) + [(0, self.n_fft - self.win_length)]
+                f = jnp.pad(f, pad)
+            f = f * self._win_padded
+            spec = jnp.fft.fft(f * self._pre, axis=-1)[..., : self.n_fft // 2]
+            return jnp.real(self._post * spec)
         return jnp.matmul(
             frames, self.kernel[: self.win_length], precision=self.precision
         )
@@ -203,6 +238,7 @@ class IMDCT:
         out_length: Optional[int] = None,
         dtype=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
+        method: str = "matmul",
     ):
         self.n_fft = n_fft
         self.win_length = int(win_length or n_fft)
@@ -210,6 +246,9 @@ class IMDCT:
         self.center = center
         self.out_length = out_length
         self.precision = precision
+        if method not in ("matmul", "fft"):
+            raise ValueError(f"unknown IMDCT method {method!r}")
+        self.method = method
         win = _resolve_window(window, self.win_length)
         self.window = win
         # Fold window and 4/N scaling into the synthesis kernel (N/2, win).
@@ -218,9 +257,27 @@ class IMDCT:
         self.kernel = jnp.asarray(
             (4.0 / n_fft) * (m * w[:, None]).T, dtype=dtype
         )
+        if method == "fft":
+            k = np.arange(1, n_fft, 2, dtype=np.float64)
+            n = np.arange(0, 2 * n_fft, 2, dtype=np.float64)
+            self._pre = jnp.asarray(
+                np.exp(-1j * (np.pi / (2 * n_fft) + np.pi / 4) * k), jnp.complex64
+            )
+            self._post = jnp.asarray(
+                np.exp(-1j * np.pi / (2 * n_fft) * n), jnp.complex64
+            )
+            wp = np.zeros(n_fft)
+            wp[: self.win_length] = w
+            self._win_padded = jnp.asarray((4.0 / n_fft) * wp, dtype)
 
     def __call__(self, spectrum: Array) -> Array:
-        frames = jnp.matmul(spectrum, self.kernel, precision=self.precision)
+        if self.method == "fft":
+            # reference IMDCT4.forward math (models/mdct.py:457-489)
+            x = jnp.fft.fft(self._pre * spectrum, n=self.n_fft, axis=-1)
+            frames = jnp.real(x * self._post) * self._win_padded
+            frames = frames[..., : self.win_length]
+        else:
+            frames = jnp.matmul(spectrum, self.kernel, precision=self.precision)
         out = overlap_add(frames, self.hop_length, self.center)
         if self.out_length is not None:
             out = out[..., : self.out_length]

@@ -52,10 +52,14 @@ def _kernel(chunks_ref, mat_ref, out_ref, *, ratio: int, n_frames: int,
     spec = None
     for i in range(ratio):
         band = rows if i == 0 else pltpu.roll(rows, shift=n_rows - i, axis=0)
+        # HIGHEST precision: the MXU's default bf16 passes lose ~1e-1 absolute
+        # on O(10) spectral coefficients; the transform must match the f32
+        # matmul path (ops/mdct.py uses Precision.HIGHEST too).
         part = jnp.dot(
             band[:n_frames, :],
             mat_ref[i * hop_length : (i + 1) * hop_length, :],
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         spec = part if spec is None else spec + part
     if gain != 0.0:

@@ -194,6 +194,10 @@ class TrainOptions(BaseOptions):
                        help="global step to start the trace at")
         p.add_argument("--profile_nsteps", type=int, default=4,
                        help="number of steps to trace")
+        p.add_argument("--multihost", action="store_true",
+                       help="jax.distributed multi-host (DCN) training")
+        p.add_argument("--coordinator_address", type=str, default="",
+                       help="coordinator host:port for --multihost")
 
         # STFT params (train_options.py:63-73)
         p.add_argument("--lr_sampling_rate", type=int, default=LR_SAMPLE_RATE)

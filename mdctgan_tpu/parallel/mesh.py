@@ -38,6 +38,30 @@ def honor_jax_platforms_env() -> None:
             pass
 
 
+def init_multihost(coordinator: Optional[str] = None) -> None:
+    """DCN multi-host bring-up (SURVEY.md §5.8): same pjit program, one
+    process per host, each feeding its local batch shard.  No-op when JAX
+    auto-detects a single process."""
+    kwargs = {}
+    if coordinator:
+        kwargs["coordinator_address"] = coordinator
+    jax.distributed.initialize(**kwargs)
+
+
+def put_global_batch(batch, sharding):
+    """Assemble a GLOBAL batch-sharded array from per-process local data.
+
+    Single-process: plain device_put.  Multi-process: each host contributes
+    its local slice (jax.make_array_from_process_local_data), so the global
+    batch is batch_size * process_count without any cross-host copy."""
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(sharding, np.asarray(x)),
+        batch,
+    )
+
+
 def make_mesh(
     n_devices: Optional[int] = None,
     axis_names: Tuple[str, ...] = ("data",),

@@ -127,3 +127,28 @@ def test_uneven_length_padding(rng, tlen):
     ref = reference_mdct4(x, 512, 256, w)
     assert spec.shape == ref.shape
     np.testing.assert_allclose(np.asarray(spec), ref, atol=2e-4, rtol=1e-4)
+
+
+def test_fft_method_matches_matmul(rng):
+    """MDCT(method='fft') == MDCT(method='matmul') — the reference's
+    twiddle/FFT factorization (MDCT4/FastMDCT4 analogue) against the MXU
+    matmul formulation."""
+    x = jnp.asarray(rng.standard_normal((3, 4000)), jnp.float32)
+    for n_fft in (64, 512):
+        a = MDCT(n_fft, method="matmul")(x)
+        b = MDCT(n_fft, method="fft")(x)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_fft_imdct_roundtrip(rng):
+    x = jnp.asarray(rng.standard_normal((2, 4096)), jnp.float32)
+    spec = MDCT(512, method="fft")(x)
+    back = IMDCT(512, method="fft", out_length=4096)(spec)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(x), atol=1e-4)
+
+
+def test_fft_imdct_matches_matmul(rng):
+    spec = jnp.asarray(rng.standard_normal((2, 17, 256)), jnp.float32)
+    a = IMDCT(512, method="matmul")(spec)
+    b = IMDCT(512, method="fft")(spec)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)

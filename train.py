@@ -48,6 +48,12 @@ def main() -> None:
     opt = TrainOptions().parse()
     np.random.seed(opt.seed)
 
+    if opt.multihost:
+        from mdctgan_tpu.parallel.mesh import init_multihost
+
+        init_multihost(opt.coordinator_address or None)
+        print(f"multihost: process {jax.process_index()}/{jax.process_count()}")
+
     if opt.debug:  # train.py:75-80
         opt.display_freq = opt.print_freq = 1
         opt.niter = 1
@@ -73,10 +79,18 @@ def main() -> None:
     print(f"#training files = {dataset_size}")
 
     # ------------------------------------------------------------------ mesh
-    n_dev = min(len(opt.gpu_ids), len(jax.devices())) or 1
-    mesh = make_mesh(n_dev)
-    if opt.batchSize % n_dev != 0:
-        raise ValueError(f"batchSize {opt.batchSize} not divisible by {n_dev} devices")
+    if opt.multihost:
+        # global mesh over every device on every host; --batchSize is the
+        # PER-HOST batch (mirrors the reference's per-process DataLoader)
+        mesh = make_mesh(None)
+        local_dev = len(jax.local_devices())
+    else:
+        local_dev = min(len(opt.gpu_ids), len(jax.devices())) or 1
+        mesh = make_mesh(local_dev)
+    if opt.batchSize % local_dev != 0:
+        raise ValueError(
+            f"batchSize {opt.batchSize} not divisible by {local_dev} local devices"
+        )
 
     # ----------------------------------------------------------------- model
     generator = build_generator(opt)
