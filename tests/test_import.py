@@ -1,0 +1,180 @@
+"""Torch-checkpoint importer tests.
+
+Two layers of assurance (the HF pretrained checkpoint itself is not available
+in this offline environment):
+  * layer-level parity against REAL torch ops — validates every weight-layout
+    convention the converter uses (conv NCHW->HWIO, transposed-conv flip,
+    BatchNorm running stats);
+  * export->import round-trip through the full mapping table for both
+    generator architectures and the discriminator — validates the
+    index-naming replay of the reference's nn.Sequential layout
+    (base_model.py:49-111 load path; networks.py sequential construction).
+"""
+
+import numpy as np
+import pytest
+
+jnp = pytest.importorskip("jax.numpy")
+import jax  # noqa: E402
+import torch  # noqa: E402
+
+from mdctgan_tpu.models.layers import Conv, ConvTransposed  # noqa: E402
+from mdctgan_tpu.train import import_torch  # noqa: E402
+
+
+# --------------------------------------------------------------------------
+# layer-level parity vs real torch
+# --------------------------------------------------------------------------
+
+def test_conv_weight_conversion_matches_torch(rng):
+    tconv = torch.nn.Conv2d(3, 5, 3, stride=2, padding=1)
+    x = rng.standard_normal((2, 3, 16, 16)).astype(np.float32)
+    with torch.no_grad():
+        ref = tconv(torch.from_numpy(x)).numpy()
+
+    w = tconv.weight.detach().numpy()
+    params = {
+        "conv": {
+            "kernel": np.transpose(w, (2, 3, 1, 0)),
+            "bias": tconv.bias.detach().numpy(),
+        }
+    }
+    ours = Conv(5, 3, 2, 1).apply(
+        {"params": params}, jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+    )
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(ours), (0, 3, 1, 2)), ref, atol=1e-5
+    )
+
+
+def test_transposed_conv_conversion_matches_torch(rng):
+    tconv = torch.nn.ConvTranspose2d(4, 6, 3, stride=2, padding=1, output_padding=1)
+    x = rng.standard_normal((1, 4, 8, 8)).astype(np.float32)
+    with torch.no_grad():
+        ref = tconv(torch.from_numpy(x)).numpy()
+
+    w = tconv.weight.detach().numpy()  # (I, O, kH, kW)
+    params = {
+        "conv": {
+            "kernel": np.transpose(w, (2, 3, 1, 0)),
+            "bias": tconv.bias.detach().numpy(),
+        }
+    }
+    ours = ConvTransposed(6, 3, 2).apply(
+        {"params": params}, jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+    )
+    assert ours.shape == (1, 16, 16, 6)
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(ours), (0, 3, 1, 2)), ref, atol=1e-5
+    )
+
+
+def test_batchnorm_conversion_matches_torch(rng):
+    import flax.linen as nn
+
+    tbn = torch.nn.BatchNorm2d(4)
+    with torch.no_grad():
+        tbn.weight.copy_(torch.from_numpy(rng.standard_normal(4).astype(np.float32)))
+        tbn.bias.copy_(torch.from_numpy(rng.standard_normal(4).astype(np.float32)))
+        tbn.running_mean.copy_(
+            torch.from_numpy(rng.standard_normal(4).astype(np.float32))
+        )
+        tbn.running_var.copy_(
+            torch.from_numpy(np.abs(rng.standard_normal(4)).astype(np.float32) + 0.5)
+        )
+    tbn.eval()
+    x = rng.standard_normal((2, 4, 8, 8)).astype(np.float32)
+    with torch.no_grad():
+        ref = tbn(torch.from_numpy(x)).numpy()
+
+    ours = nn.BatchNorm(use_running_average=True, momentum=0.9, epsilon=1e-5).apply(
+        {
+            "params": {
+                "scale": tbn.weight.detach().numpy(),
+                "bias": tbn.bias.detach().numpy(),
+            },
+            "batch_stats": {
+                "mean": tbn.running_mean.numpy(),
+                "var": tbn.running_var.numpy(),
+            },
+        },
+        jnp.asarray(np.transpose(x, (0, 2, 3, 1))),
+    )
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(ours), (0, 3, 1, 2)), ref, atol=1e-5
+    )
+
+
+# --------------------------------------------------------------------------
+# full mapping-table round trips
+# --------------------------------------------------------------------------
+
+def _tree_allclose(a, b):
+    fa = jax.tree_util.tree_leaves_with_path(a)
+    fb = {jax.tree_util.keystr(k): v for k, v in jax.tree_util.tree_leaves_with_path(b)}
+    assert len(fa) == len(fb)
+    for k, v in fa:
+        np.testing.assert_allclose(
+            np.asarray(v), np.asarray(fb[jax.tree_util.keystr(k)]), atol=0,
+            err_msg=jax.tree_util.keystr(k),
+        )
+
+
+@pytest.mark.parametrize("kind", ["global", "local"])
+def test_generator_export_import_roundtrip(kind):
+    from mdctgan_tpu.models.generator import GlobalGenerator, LocalEnhancer
+
+    if kind == "global":
+        gen = GlobalGenerator(
+            input_nc=2, output_nc=1, ngf=4, n_downsampling=2, n_blocks=2,
+            n_attn=1, heads=2, dim_head=4, input_size=(32, 32),
+            downsample_type="resconv", upsample_type="interpolate",
+        )
+    else:
+        gen = LocalEnhancer(
+            input_nc=2, output_nc=1, ngf=4, n_downsample_global=2,
+            n_blocks_global=2, n_blocks_local=1, n_attn_global=1,
+            heads_g=2, dim_head_g=4, input_size=(64, 64),
+            downsample_type="resconv", upsample_type="interpolate",
+        )
+    v = gen.init(jax.random.PRNGKey(0), jnp.zeros((1, *gen.input_size, 2)),
+                 train=False)
+    entries = import_torch.generator_entries_for(gen)
+    sd = import_torch.export_to_torch_keys(
+        v["params"], v.get("batch_stats", {}), entries
+    )
+    # every torch key must be consumed and every param restored bit-exactly
+    params, stats = import_torch.import_generator(sd, gen)
+    _tree_allclose(v["params"], params)
+    if v.get("batch_stats"):
+        _tree_allclose(v["batch_stats"], stats)
+    # imported params must actually run
+    out = gen.apply({"params": params, "batch_stats": stats},
+                    jnp.zeros((1, *gen.input_size, 2)), train=False)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_discriminator_export_import_roundtrip():
+    from mdctgan_tpu.models.discriminator import MultiscaleDiscriminator
+
+    disc = MultiscaleDiscriminator(ndf=4, n_layers=2, num_D=2)
+    v = disc.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    entries = import_torch.discriminator_entries(2, 2)
+    sd = import_torch.export_to_torch_keys(v["params"], {}, entries)
+    params = import_torch.import_discriminator(sd, 2, 2)
+    _tree_allclose(v["params"], params)
+
+
+def test_import_rejects_arch_mismatch():
+    from mdctgan_tpu.models.generator import GlobalGenerator
+
+    gen = GlobalGenerator(
+        input_nc=2, output_nc=1, ngf=4, n_downsampling=2, n_blocks=1,
+        n_attn=0, input_size=(32, 32),
+    )
+    v = gen.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 2)), train=False)
+    entries = import_torch.generator_entries_for(gen)
+    sd = import_torch.export_to_torch_keys(v["params"], {}, entries)
+    sd["model.999.weight"] = np.zeros((1, 1, 1, 1), np.float32)
+    with pytest.raises(ValueError, match="unconsumed"):
+        import_torch.import_generator(sd, gen)
