@@ -65,9 +65,12 @@ class AudioDataset:
         segment_length: int,
         seed: int = 42,
         max_files: Optional[int] = None,
+        serial: bool = False,
     ):
         self.files = list_audio_files(index_path, max_files)
         self.segment_length = int(segment_length)
+        self.serial = serial  # --serial_batches: in-order instead of random
+        self._cursor = 0
         self._len_cache: dict = {}
         self._rng = np.random.default_rng(seed)
 
@@ -82,7 +85,11 @@ class AudioDataset:
 
     def sample(self, idx: Optional[int] = None) -> Tuple[np.ndarray, int]:
         if idx is None:
-            idx = int(self._rng.integers(0, len(self.files)))
+            if self.serial:
+                idx = self._cursor
+                self._cursor = (self._cursor + 1) % len(self.files)
+            else:
+                idx = int(self._rng.integers(0, len(self.files)))
         for attempt in range(len(self.files)):
             j = (idx + attempt) % len(self.files)
             try:

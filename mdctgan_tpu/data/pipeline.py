@@ -76,7 +76,8 @@ class InputPipeline:
         self._queue: "queue.Queue" = queue.Queue(maxsize=queue_size)
         self._stop = threading.Event()
         self._prefetcher = None
-        if native.load_library() is not None:
+        # the C++ prefetcher samples randomly; serial mode stays in Python
+        if not getattr(dataset, "serial", False) and native.load_library() is not None:
             try:
                 self._prefetcher = native.NativePrefetcher(
                     dataset.files, dataset.segment_length,

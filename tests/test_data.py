@@ -128,3 +128,12 @@ def test_input_pipeline(wav_dir):
         assert np.isfinite(np.asarray(batch["lr_audio"])).all()
     finally:
         pipe.close()
+
+
+def test_serial_batches(wav_dir):
+    ds = AudioDataset(str(wav_dir), segment_length=8000, seed=0, serial=True)
+    # round-robin order over the sorted file list
+    for _ in range(5):
+        seg, _ = ds.sample()
+        assert seg.shape == (8000,)
+    assert ds._cursor == 5 % len(ds)

@@ -67,7 +67,8 @@ def main() -> None:
     # ------------------------------------------------------------------ data
     max_files = None if opt.max_dataset_size == float("inf") else int(opt.max_dataset_size)
     train_ds = AudioDataset(
-        opt.dataroot, cfg.segment_length, seed=opt.seed, max_files=max_files
+        opt.dataroot, cfg.segment_length, seed=opt.seed, max_files=max_files,
+        serial=opt.serial_batches,
     )
     eval_ds = None
     if opt.evalroot and os.path.exists(opt.evalroot):
@@ -274,7 +275,10 @@ def main() -> None:
                 if total_steps % opt.save_latest_freq == 0:
                     save(epoch, epoch_iter)
                     print(f"saved latest (epoch {epoch}, iters {total_steps})")
-                if opt.eval_freq > 0 and total_steps % opt.eval_freq == 0:
+                # reference gate: eval only when validation_split > 0
+                # (train.py:85,227 — eval_delta is -1 otherwise)
+                if (opt.validation_split > 0 and opt.eval_freq > 0
+                        and total_steps % opt.eval_freq == 0):
                     run_eval(total_steps, epoch)
                 if interrupted["flag"]:
                     save(epoch, epoch_iter)
