@@ -116,7 +116,6 @@ def build_train_step(
 
         d_params_sg = jax.tree.map(jax.lax.stop_gradient, d_params)
         pred_fake_g = d_apply(d_params_sg, lr_spec, sr_spec)  # grads -> G only
-        pred_real = d_apply(d_params, lr_spec, hr_spec)
         fake_concat = d_concat(lr_spec, jax.lax.stop_gradient(sr_spec))
         if use_pool:
             # Per-sample mix of replayed old fakes and current fakes
@@ -125,7 +124,17 @@ def build_train_step(
             d_fake_in = m * pool_old + (1.0 - m) * fake_concat
         else:
             d_fake_in = fake_concat
-        pred_fake_d = d_apply_concat(d_params, d_fake_in)
+        # The D_fake and D_real passes share live d_params (the reference runs
+        # them as two separate forward calls, pix2pixHD_model.py:429-435);
+        # batching them into ONE 2B D call halves kernel launches and doubles
+        # MXU occupancy per conv.  Split the per-scale features afterwards.
+        real_concat = d_concat(lr_spec, hr_spec)
+        both = d_apply_concat(
+            d_params, jnp.concatenate((d_fake_in, real_concat), axis=0)
+        )
+        bsz = lr_spec.shape[0]
+        pred_fake_d = [[f[:bsz] for f in scale] for scale in both]
+        pred_real = [[f[bsz:] for f in scale] for scale in both]
 
         loss_g_gan = gan_loss(pred_fake_g, True, use_lsgan)
         loss_g_feat = (
