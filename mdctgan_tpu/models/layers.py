@@ -23,13 +23,19 @@ Array = jax.Array
 def instance_norm(x: Array, eps: float = 1e-5) -> Array:
     """InstanceNorm2d(affine=False): normalize each (sample, channel) over HW.
 
-    Statistics always in float32 (matching torch AMP, which keeps norms in
-    fp32); output returns to f32 — the next conv casts back down under a
-    bf16 policy."""
-    x = x.astype(jnp.float32)
-    mean = jnp.mean(x, axis=(1, 2), keepdims=True)
-    var = jnp.var(x, axis=(1, 2), keepdims=True)
-    return (x - mean) * jax.lax.rsqrt(var + eps)
+    Statistics accumulate in float32 (matching torch AMP, which keeps norm
+    math in fp32) but the activation KEEPS its compute dtype — under the bf16
+    policy this halves the HBM traffic of the norm/relu/pad chain between
+    convs, which dominates the generator's runtime (the model is
+    bandwidth-bound, not MXU-bound).  Centered two-pass variance avoids the
+    E[x^2]-E[x]^2 cancellation in low precision."""
+    mean = jnp.mean(x, axis=(1, 2), keepdims=True, dtype=jnp.float32)
+    centered = x - mean.astype(x.dtype)
+    var = jnp.mean(
+        jnp.square(centered), axis=(1, 2), keepdims=True, dtype=jnp.float32
+    )
+    scale = jax.lax.rsqrt(var + eps).astype(x.dtype)
+    return centered * scale
 
 
 def reflect_pad(x: Array, pad: int) -> Array:
