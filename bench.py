@@ -23,12 +23,29 @@ BASELINE_MDCT_MS = 9.61  # reference README.md:104-107 (RTX 3070 laptop)
 
 
 def timeit(fn, *args, warmup: int = 3, iters: int = 50) -> float:
-    for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+    """Pipelined average over UNIQUE inputs.
+
+    Two tunneled-TPU measurement hazards: (a) the runtime can serve repeated
+    identical dispatches from a cache — defeated by cycling perturbed input
+    variants; (b) per-call blocking pays the full tunnel RTT (~tens of ms) —
+    defeated by async dispatch of the whole loop with one final block, which
+    amortizes RTT and measures device throughput.
+    """
+    *head, last = args
+
+    def perturb(tree, i):
+        return jax.tree.map(
+            lambda v: v + i * 1e-4 if jnp.issubdtype(v.dtype, jnp.floating) else v,
+            tree,
+        )
+
+    variants = [perturb(last, i + 1) for i in range(warmup + iters)]
+    outs = [fn(*head, variants[i]) for i in range(warmup)]
+    jax.block_until_ready(outs[-1])
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
+    outs = [fn(*head, variants[warmup + i]) for i in range(iters)]
+    for o in outs:
+        jax.block_until_ready(o)
     return (time.perf_counter() - t0) / iters * 1e3  # ms
 
 

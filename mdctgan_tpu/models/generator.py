@@ -30,6 +30,7 @@ from mdctgan_tpu.models.layers import (
     ResnetBlock,
     avg_pool_3x3_s2,
     instance_norm,
+    instance_norm_relu,
     reflect_pad,
 )
 
@@ -82,14 +83,14 @@ class GlobalGenerator(nn.Module):
         ngf = self.ngf
         h = reflect_pad(x, 3)
         h = Conv(ngf, 7, dtype=self.dtype, name="stem")(h)
-        h = nn.relu(instance_norm(h))
+        h = instance_norm_relu(h)
         for i in range(self.n_downsampling):
             mult = 2 ** i
             h = _downsample_layer(
                 self.downsample_type, ngf * mult, ngf * mult * 2, f"down{i}",
                 dtype=self.dtype,
             )(h)
-            h = nn.relu(instance_norm(h))
+            h = instance_norm_relu(h)
 
         mult = 2 ** self.n_downsampling
         mid = self.n_blocks // 2
@@ -125,7 +126,7 @@ class GlobalGenerator(nn.Module):
                 self.upsample_type, ngf * mult, ngf * mult // 2, f"up{i}",
                 dtype=self.dtype,
             )(h)
-            h = nn.relu(instance_norm(h))
+            h = instance_norm_relu(h)
         if not self.include_head:
             return h
         h = reflect_pad(h, 3)
@@ -189,10 +190,10 @@ class LocalEnhancer(nn.Module):
         ngf_l = self.ngf * (2 ** (self.n_local_enhancers - 1))
         h = reflect_pad(x, 3)
         h = Conv(ngf_l, 7, dtype=self.dtype, name="local_stem")(h)
-        h = nn.relu(instance_norm(h))
+        h = instance_norm_relu(h)
         h = _downsample_layer(self.downsample_type, ngf_l, ngf_l * 2, "local_down",
                               dtype=self.dtype)(h)
-        h = nn.relu(instance_norm(h))
+        h = instance_norm_relu(h)
 
         # --- fuse and refine (networks.py:265-266: add, then upsample branch)
         h = h + coarse
@@ -209,13 +210,13 @@ class LocalEnhancer(nn.Module):
                     self.downsample_type, ngf_l * 2, ngf_l, "local_attn_down0",
                     dtype=self.dtype,
                 )(h)
-                h = nn.relu(instance_norm(h))
+                h = instance_norm_relu(h)
                 shared_down = _downsample_layer(
                     self.downsample_type, ngf_l, ngf_l, "local_attn_down_shared",
                     dtype=self.dtype,
                 )
                 for _ in range(2):
-                    h = nn.relu(instance_norm(shared_down(h)))
+                    h = instance_norm_relu(shared_down(h))
                 h = BottleStack(
                     dim_out=ngf_l * 2,
                     fmap_size=(self.input_size[0] // 16, self.input_size[1] // 16),
@@ -233,10 +234,10 @@ class LocalEnhancer(nn.Module):
                 dtype=self.dtype,
             )
             for _ in range(3):
-                h = nn.relu(instance_norm(shared_up(h)))
+                h = instance_norm_relu(shared_up(h))
         h = _upsample_layer(self.upsample_type, ngf_l * 2, ngf_l, "local_up",
                             dtype=self.dtype)(h)
-        h = nn.relu(instance_norm(h))
+        h = instance_norm_relu(h)
         h = reflect_pad(h, 3)
         h = Conv(self.output_nc, 7, dtype=self.dtype, name="local_head")(h)
         return nn.tanh(h.astype(jnp.float32))

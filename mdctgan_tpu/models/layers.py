@@ -27,15 +27,20 @@ def instance_norm(x: Array, eps: float = 1e-5) -> Array:
     math in fp32) but the activation KEEPS its compute dtype — under the bf16
     policy this halves the HBM traffic of the norm/relu/pad chain between
     convs, which dominates the generator's runtime (the model is
-    bandwidth-bound, not MXU-bound).  Centered two-pass variance avoids the
-    E[x^2]-E[x]^2 cancellation in low precision."""
-    mean = jnp.mean(x, axis=(1, 2), keepdims=True, dtype=jnp.float32)
-    centered = x - mean.astype(x.dtype)
-    var = jnp.mean(
-        jnp.square(centered), axis=(1, 2), keepdims=True, dtype=jnp.float32
-    )
-    scale = jax.lax.rsqrt(var + eps).astype(x.dtype)
-    return centered * scale
+    bandwidth-bound, not MXU-bound).  On TPU this dispatches to the fused
+    single-pass Pallas kernel (ops/pallas_norm.py); elsewhere it runs the
+    identical XLA formula with centered two-pass variance."""
+    from mdctgan_tpu.ops.pallas_norm import instance_norm_fused
+
+    return instance_norm_fused(x, relu=False)
+
+
+def instance_norm_relu(x: Array) -> Array:
+    """relu(instance_norm(x)) as one fused pass (the generator's ubiquitous
+    conv->IN->ReLU chain)."""
+    from mdctgan_tpu.ops.pallas_norm import instance_norm_fused
+
+    return instance_norm_fused(x, relu=True)
 
 
 def reflect_pad(x: Array, pad: int) -> Array:
@@ -140,7 +145,7 @@ class ResnetBlock(nn.Module):
     def __call__(self, x: Array) -> Array:
         h = reflect_pad(x, 1)
         h = Conv(self.dim, 3, dtype=self.dtype, name="conv1")(h)
-        h = nn.relu(instance_norm(h))
+        h = instance_norm_relu(h)
         h = reflect_pad(h, 1)
         h = Conv(self.dim, 3, dtype=self.dtype, name="conv2")(h)
         h = instance_norm(h)

@@ -1,0 +1,184 @@
+"""Fused InstanceNorm(+ReLU) Pallas kernel with custom VJP.
+
+The generator is bandwidth-bound (cost analysis: ~2 TFLOP but ~10.6 GB of
+HBM traffic per batch-20 forward; the MXU convs alone would finish in ~5 ms
+of the ~30 ms forward).  Each of its ~20 `relu(instance_norm(conv(x)))`
+chains makes XLA run two reduction passes (mean, variance) plus a normalize
+pass over the activation.  This kernel performs the whole chain — centered
+two-pass statistics in f32, normalize, optional ReLU — in ONE pallas_call
+per sample with the activation resident in VMEM, and a matching backward
+kernel for the custom VJP:
+
+    y   = (x - mean) * rsqrt(var + eps);   out = relu(y) if relu else y
+    dx  = inv * (g' - mean(g') - y_hat * mean(g' * y_hat)),  g' = g * (y>0)
+
+Numerics match `mdctgan_tpu.models.layers.instance_norm` (f32 statistics,
+activations keep their compute dtype).  Off-TPU (or for activations too big
+for VMEM) the pure-JAX fallback is used, so the op is safe everywhere.
+
+Reference semantics: InstanceNorm2d(affine=False) (networks.py:26).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+# Activations larger than this (bytes of x alone) fall back to XLA for the
+# FORWARD kernel (x + out + f32 temps resident per sample).
+_VMEM_BUDGET = 2 * 1024 * 1024
+# The BACKWARD kernel additionally holds g, dx and two more f32 temps —
+# use it only for small blocks; bigger ones take the XLA pullback.
+_BWD_VMEM_BUDGET = 512 * 1024
+
+_EPS = 1e-5
+
+
+def _jax_instance_norm(x: Array, relu: bool) -> Array:
+    mean = jnp.mean(x, axis=(1, 2), keepdims=True, dtype=jnp.float32)
+    centered = x - mean.astype(x.dtype)
+    var = jnp.mean(
+        jnp.square(centered), axis=(1, 2), keepdims=True, dtype=jnp.float32
+    )
+    out = centered * jax.lax.rsqrt(var + _EPS).astype(x.dtype)
+    return jnp.maximum(out, 0) if relu else out
+
+
+def _fwd_kernel(x_ref, out_ref, inv_ref, *, relu: bool):
+    x = x_ref[0]  # (H, W, C)
+    h, w, c = x.shape
+    n = h * w
+    xf = x.astype(jnp.float32)
+    mean = jnp.sum(xf, axis=(0, 1), keepdims=True) * (1.0 / n)
+    centered = xf - mean
+    var = jnp.sum(centered * centered, axis=(0, 1), keepdims=True) * (1.0 / n)
+    inv = jax.lax.rsqrt(var + _EPS)
+    y = centered * inv
+    if relu:
+        y = jnp.maximum(y, 0.0)
+    out_ref[0] = y.astype(out_ref.dtype)
+    # save (mean, inv) rows for the backward kernel
+    inv_ref[0, 0, :] = mean[0, 0, :]
+    inv_ref[0, 1, :] = inv[0, 0, :]
+
+
+def _bwd_kernel(x_ref, stats_ref, g_ref, dx_ref, *, relu: bool):
+    x = x_ref[0].astype(jnp.float32)
+    g = g_ref[0].astype(jnp.float32)
+    h, w, c = x.shape
+    n = h * w
+    mean = stats_ref[0, 0, :][None, None, :]
+    inv = stats_ref[0, 1, :][None, None, :]
+    y = (x - mean) * inv
+    if relu:
+        g = g * (y > 0.0).astype(jnp.float32)
+    mean_g = jnp.sum(g, axis=(0, 1), keepdims=True) * (1.0 / n)
+    mean_gy = jnp.sum(g * y, axis=(0, 1), keepdims=True) * (1.0 / n)
+    dx = inv * (g - mean_g - y * mean_gy)
+    dx_ref[0] = dx.astype(dx_ref.dtype)
+
+
+def _supported(x: Array) -> bool:
+    # OPT-IN (MDCTGAN_PALLAS_NORM=1): a measured A/B on v5e showed XLA already
+    # fuses the conv->IN->ReLU chains to the same speed (G fwd 30.8 ms either
+    # way, bwd marginally worse with the kernel), so the default stays on the
+    # XLA path; the kernel remains available and tested for future geometries
+    # where the fusion breaks down.
+    import os
+
+    if not os.environ.get("MDCTGAN_PALLAS_NORM"):
+        return False
+    if x.ndim != 4:
+        return False
+    if jax.devices()[0].platform != "tpu":
+        return False
+    _, h, w, c = x.shape
+    return h * w * c * x.dtype.itemsize <= _VMEM_BUDGET and c % 8 == 0
+
+
+def _fwd_call(x: Array, relu: bool) -> Tuple[Array, Array]:
+    b, h, w, c = x.shape
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, relu=relu),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct(x.shape, x.dtype),
+            jax.ShapeDtypeStruct((b, 8, c), jnp.float32),
+        ),
+    )(x)
+
+
+def _bwd_call(x: Array, stats: Array, g: Array, relu: bool) -> Array:
+    b, h, w, c = x.shape
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel, relu=relu),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+    )(x, stats, g)
+
+
+def _make(relu: bool):
+    @jax.custom_vjp
+    def fn(x: Array) -> Array:
+        if not _supported(x):
+            return _jax_instance_norm(x, relu)
+        out, _ = _fwd_call(x, relu)
+        return out
+
+    def fwd(x: Array):
+        if not _supported(x):
+            out = _jax_instance_norm(x, relu)
+            return out, (x, None)
+        out, stats = _fwd_call(x, relu)
+        return out, (x, stats)
+
+    def bwd(res, g: Array):
+        x, stats = res
+        _, h, w, c = x.shape
+        small = h * w * c * x.dtype.itemsize <= _BWD_VMEM_BUDGET
+        if stats is None or not small:
+            # XLA autodiff of the reference formula (the Pallas bwd holds
+            # x/g/dx plus f32 temps in VMEM — too much for large blocks)
+            _, pullback = jax.vjp(lambda v: _jax_instance_norm(v, relu), x)
+            return (pullback(g)[0],)
+        return (_bwd_call(x, stats, g, relu),)
+
+    fn.defvjp(fwd, bwd)
+    return fn
+
+
+_fused_plain = _make(relu=False)
+_fused_relu = _make(relu=True)
+
+
+def instance_norm_fused(x: Array, relu: bool = False) -> Array:
+    """relu(instance_norm(x)) (or plain IN) — fused on TPU, XLA elsewhere."""
+    return _fused_relu(x) if relu else _fused_plain(x)

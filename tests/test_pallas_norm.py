@@ -1,0 +1,41 @@
+"""Fused InstanceNorm(+ReLU) op tests.
+
+On CPU these exercise the XLA fallback path and the custom-VJP plumbing; the
+Pallas kernels themselves are validated on real TPU (see the docstring check
+in ops/pallas_norm.py and the bench A/B)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mdctgan_tpu.ops.pallas_norm import _jax_instance_norm, instance_norm_fused
+
+
+def _torch_style_in(x, relu):
+    x = np.asarray(x, np.float64)
+    mean = x.mean(axis=(1, 2), keepdims=True)
+    var = x.var(axis=(1, 2), keepdims=True)
+    y = (x - mean) / np.sqrt(var + 1e-5)
+    return np.maximum(y, 0) if relu else y
+
+
+def test_fused_matches_instancenorm2d(rng):
+    x = jnp.asarray(rng.standard_normal((2, 8, 16, 8)), jnp.float32)
+    for relu in (False, True):
+        got = np.asarray(instance_norm_fused(x, relu=relu))
+        np.testing.assert_allclose(got, _torch_style_in(x, relu), atol=1e-4)
+
+
+def test_fused_grad_matches_autodiff(rng):
+    x = jnp.asarray(rng.standard_normal((2, 8, 16, 8)), jnp.float32)
+    for relu in (False, True):
+        g1 = jax.grad(lambda v: jnp.sum(jnp.sin(instance_norm_fused(v, relu=relu))))(x)
+        g2 = jax.grad(lambda v: jnp.sum(jnp.sin(_jax_instance_norm(v, relu))))(x)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4)
+
+
+def test_fused_bf16_dtype_preserved(rng):
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 8)), jnp.bfloat16)
+    out = instance_norm_fused(x, relu=True)
+    assert out.dtype == jnp.bfloat16
+    assert np.isfinite(np.asarray(out, np.float32)).all()
