@@ -42,7 +42,11 @@ def main() -> None:
     os.makedirs(expr_dir, exist_ok=True)
 
     # ------------------------------------------------------------- input
-    ds = AudioTestDataset(opt.dataroot, cfg.segment_length, overlap=opt.gen_overlap)
+    try:
+        ds = AudioTestDataset(opt.dataroot, cfg.segment_length, overlap=opt.gen_overlap)
+    except Exception:
+        # reference behavior: print and exit (audio_dataset.py:149-151)
+        raise SystemExit("load audio failed")
     raw = jnp.asarray(ds.raw_audio)[None]
     print(f"Audio length: {ds.audio_len}")
     if opt.is_lr_input:
