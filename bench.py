@@ -49,27 +49,69 @@ def timeit(fn, *args, warmup: int = 3, iters: int = 50) -> float:
     return (time.perf_counter() - t0) / iters * 1e3  # ms
 
 
+def device_time_scan(fn, x, n_lo: int = 4, n_hi: int = 24, reps: int = 3) -> float:
+    """Per-iteration DEVICE time of ``fn(x)`` via a differential scan.
+
+    For sub-millisecond ops the tunnel's per-dispatch overhead (~tens of ms)
+    swamps any end-to-end timing, so run N sequential iterations INSIDE one
+    jitted lax.scan (each iteration's input perturbed by a value derived from
+    the previous output, defeating both caching and parallelization) and
+    report (t(n_hi) - t(n_lo)) / (n_hi - n_lo).
+    """
+
+    def make(n):
+        @jax.jit
+        def loop(x0):
+            def body(carry, i):
+                out = fn(carry)
+                s = sum(jnp.sum(o) for o in jax.tree.leaves(out))
+                # chain dependency without changing the value materially
+                nxt = carry + (s * 1e-30 + i * 1e-6)
+                return nxt, s
+
+            _, ss = jax.lax.scan(body, x0, jnp.arange(n, dtype=x0.dtype))
+            return jnp.sum(ss)
+
+        return loop
+
+    lo, hi = make(n_lo), make(n_hi)
+
+    def run(f):
+        jax.block_until_ready(f(x))  # compile + warm
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            jax.block_until_ready(f(x))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_lo, t_hi = run(lo), run(hi)
+    return max(t_hi - t_lo, 1e-9) / (n_hi - n_lo) * 1e3  # ms/iter
+
+
 def main() -> None:
     from mdctgan_tpu.ops.mdct import MDCT
 
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((64, 32512)), jnp.float32)
     m = MDCT(512)
-    fwd = jax.jit(lambda a: m(a))
-    mdct_ms = timeit(fwd, x)
-    print(f"[bench] MDCT fwd 64x32512: {mdct_ms:.3f} ms", file=sys.stderr)
+    mdct_ms = device_time_scan(lambda a: m(a), x)
+    print(f"[bench] MDCT fwd 64x32512: {mdct_ms:.3f} ms (device time)",
+          file=sys.stderr)
 
     # Secondary: fused Pallas MDCT+normalize kernel vs the XLA path.
     try:
         from mdctgan_tpu.ops.pallas_mdct import is_tpu, mdct_spectro_fused
 
         if is_tpu():
-            fused = lambda a: mdct_spectro_fused(a, gain=1000.0, scale=0.5, shift=0.25)
-            fused_ms = timeit(fused, x)
-            unfused = jax.jit(
-                lambda a: jnp.arcsinh(1000.0 * m(a)) / np.log(10.0) * 0.5 + 0.25
+            fused_ms = device_time_scan(
+                lambda a: mdct_spectro_fused(a, gain=1000.0, scale=0.5, shift=0.25),
+                x,
             )
-            unfused_ms = timeit(unfused, x)
+            unfused_ms = device_time_scan(
+                lambda a: jnp.arcsinh(1000.0 * m(a)) / np.log(10.0) * 0.5 + 0.25,
+                x,
+            )
             print(
                 f"[bench] MDCT+normalize 64x32512: fused pallas {fused_ms:.3f} ms"
                 f" vs XLA {unfused_ms:.3f} ms ({unfused_ms / fused_ms:.2f}x)",
@@ -144,7 +186,10 @@ def main() -> None:
         )
         infer = build_inference_fn(gen, tf_, out_length=cfg.segment_length)
         lr = jnp.asarray(0.1 * rng.standard_normal((1, cfg.segment_length)), jnp.float32)
-        inf_ms = timeit(lambda v, a: infer(v, a)[1], g_vars, lr, warmup=2, iters=20)
+        inf_ms = device_time_scan(
+            lambda a: infer(g_vars, a)[1][..., : cfg.segment_length],
+            lr, n_lo=2, n_hi=10,
+        )
         rtf = (inf_ms / 1e3) / (cfg.segment_length / cfg.hr_sampling_rate)
         print(f"[bench] flagship inference: {inf_ms:.2f} ms/segment, RTF={rtf:.4f}",
               file=sys.stderr)
