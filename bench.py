@@ -49,7 +49,7 @@ def timeit(fn, *args, warmup: int = 3, iters: int = 50) -> float:
     return (time.perf_counter() - t0) / iters * 1e3  # ms
 
 
-def device_time_scan(fn, x, n_lo: int = 4, n_hi: int = 24, reps: int = 3) -> float:
+def device_time_scan(fn, x, n_lo: int = 4, n_hi: int = 104, reps: int = 5) -> float:
     """Per-iteration DEVICE time of ``fn(x)`` via a differential scan.
 
     For sub-millisecond ops the tunnel's per-dispatch overhead (~tens of ms)
@@ -188,7 +188,7 @@ def main() -> None:
         lr = jnp.asarray(0.1 * rng.standard_normal((1, cfg.segment_length)), jnp.float32)
         inf_ms = device_time_scan(
             lambda a: infer(g_vars, a)[1][..., : cfg.segment_length],
-            lr, n_lo=2, n_hi=10,
+            lr, n_lo=2, n_hi=26, reps=4,
         )
         rtf = (inf_ms / 1e3) / (cfg.segment_length / cfg.hr_sampling_rate)
         print(f"[bench] flagship inference: {inf_ms:.2f} ms/segment, RTF={rtf:.4f}",

@@ -36,6 +36,10 @@ def main() -> None:
 
     honor_jax_platforms_env()
     opt = TrainOptions().parse(save=False)
+    if getattr(opt, "jax_cache_dir", ""):
+        from mdctgan_tpu.parallel.mesh import enable_compilation_cache
+
+        enable_compilation_cache(opt.jax_cache_dir)
     cfg = spectral_config_from_opt(opt)
     transform = SpectralTransform(cfg)
     expr_dir = os.path.join(opt.checkpoints_dir, opt.name)

@@ -196,6 +196,9 @@ class TrainOptions(BaseOptions):
                        help="number of steps to trace")
         p.add_argument("--multihost", action="store_true",
                        help="jax.distributed multi-host (DCN) training")
+        p.add_argument("--jax_cache_dir", type=str,
+                       default=os.path.expanduser("~/.cache/mdctgan_tpu_xla"),
+                       help="persistent XLA compilation cache ('' disables)")
         p.add_argument("--coordinator_address", type=str, default="",
                        help="coordinator host:port for --multihost")
 

@@ -38,6 +38,17 @@ def honor_jax_platforms_env() -> None:
             pass
 
 
+def enable_compilation_cache(path: str) -> None:
+    """Persistent XLA compilation cache: the flagship train step takes
+    minutes to compile; cached executables make restarts near-instant."""
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def init_multihost(coordinator: Optional[str] = None) -> None:
     """DCN multi-host bring-up (SURVEY.md §5.8): same pjit program, one
     process per host, each feeding its local batch shard.  No-op when JAX

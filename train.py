@@ -53,6 +53,10 @@ def main() -> None:
 
         init_multihost(opt.coordinator_address or None)
         print(f"multihost: process {jax.process_index()}/{jax.process_count()}")
+    if opt.jax_cache_dir:
+        from mdctgan_tpu.parallel.mesh import enable_compilation_cache
+
+        enable_compilation_cache(opt.jax_cache_dir)
 
     if opt.debug:  # train.py:75-80
         opt.display_freq = opt.print_freq = 1
