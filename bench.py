@@ -49,21 +49,27 @@ def timeit(fn, *args, warmup: int = 3, iters: int = 50) -> float:
     return (time.perf_counter() - t0) / iters * 1e3  # ms
 
 
-def device_time_scan(fn, x, n_lo: int = 4, n_hi: int = 104, reps: int = 5) -> float:
-    """Per-iteration DEVICE time of ``fn(x)`` via a differential scan.
+def device_time_scan(
+    fn, x, consts=None, n_lo: int = 4, n_hi: int = 104, reps: int = 5
+) -> float:
+    """Per-iteration DEVICE time of ``fn(x[, consts])`` via a differential scan.
 
     For sub-millisecond ops the tunnel's per-dispatch overhead (~tens of ms)
     swamps any end-to-end timing, so run N sequential iterations INSIDE one
     jitted lax.scan (each iteration's input perturbed by a value derived from
     the previous output, defeating both caching and parallelization) and
     report (t(n_hi) - t(n_lo)) / (n_hi - n_lo).
+
+    ``consts`` (e.g. model params) are passed as a jit ARGUMENT — closing over
+    large arrays would bake them into the HLO as constants (and overflow the
+    remote-compile request).
     """
 
     def make(n):
         @jax.jit
-        def loop(x0):
+        def loop(x0, c):
             def body(carry, i):
-                out = fn(carry)
+                out = fn(carry) if c is None else fn(carry, c)
                 s = sum(jnp.sum(o) for o in jax.tree.leaves(out))
                 # chain dependency without changing the value materially
                 nxt = carry + (s * 1e-30 + i * 1e-6)
@@ -77,11 +83,11 @@ def device_time_scan(fn, x, n_lo: int = 4, n_hi: int = 104, reps: int = 5) -> fl
     lo, hi = make(n_lo), make(n_hi)
 
     def run(f):
-        jax.block_until_ready(f(x))  # compile + warm
+        jax.block_until_ready(f(x, consts))  # compile + warm
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
-            jax.block_until_ready(f(x))
+            jax.block_until_ready(f(x, consts))
             best = min(best, time.perf_counter() - t0)
         return best
 
@@ -187,8 +193,8 @@ def main() -> None:
         infer = build_inference_fn(gen, tf_, out_length=cfg.segment_length)
         lr = jnp.asarray(0.1 * rng.standard_normal((1, cfg.segment_length)), jnp.float32)
         inf_ms = device_time_scan(
-            lambda a: infer(g_vars, a)[1][..., : cfg.segment_length],
-            lr, n_lo=2, n_hi=26, reps=4,
+            lambda a, v: infer(v, a)[1][..., : cfg.segment_length],
+            lr, consts=g_vars, n_lo=2, n_hi=26, reps=4,
         )
         rtf = (inf_ms / 1e3) / (cfg.segment_length / cfg.hr_sampling_rate)
         print(f"[bench] flagship inference: {inf_ms:.2f} ms/segment, RTF={rtf:.4f}",

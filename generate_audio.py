@@ -1,154 +1,10 @@
 #!/usr/bin/env python
-"""Inference / evaluation driver — rebuild of the reference ``generate_audio.py``.
+"""Inference entry point (CLI parity with the reference generate_audio.py).
 
-Loads one audio file, degrades it to LR on-device (down-up resample unless
---is_lr_input, audio_dataset.py:169-177), unfolds into overlapping segments,
-runs the jitted inference stack (MDCT -> G -> IMDCT) in batches, stitches via
-edge-halving overlap-add (generate_audio.py:40-51), then writes
-MSE/SNR/LSD + sr/lr/hr WAVs to checkpoints/<name>/.
+Thin wrapper over :mod:`mdctgan_tpu.generate_cli`; also installed as the
+``mdctgan-generate`` console script."""
 
-Uses TrainOptions like the reference (generate_audio.py:13 — it needs the STFT
-flags that only TrainOptions defines).
-"""
-
-from __future__ import annotations
-
-import os
-
-import jax
-import jax.numpy as jnp
-import numpy as np
-
-from mdctgan_tpu.data import native
-from mdctgan_tpu.data.dataset import AudioTestDataset, overlap_add_segments
-from mdctgan_tpu.models.generator import build_generator
-from mdctgan_tpu.ops.features import SpectralTransform
-from mdctgan_tpu.ops.metrics import compute_metrics
-from mdctgan_tpu.ops.resample import add_noise_snr, degrade_lr, resample
-from mdctgan_tpu.options import TrainOptions, spectral_config_from_opt
-from mdctgan_tpu.train import checkpoint as ckpt_mod
-from mdctgan_tpu.train import import_torch
-from mdctgan_tpu.train.step import build_inference_fn
-
-
-def main() -> None:
-    from mdctgan_tpu.parallel.mesh import honor_jax_platforms_env
-
-    honor_jax_platforms_env()
-    opt = TrainOptions().parse(save=False)
-    if getattr(opt, "jax_cache_dir", ""):
-        from mdctgan_tpu.parallel.mesh import enable_compilation_cache
-
-        enable_compilation_cache(opt.jax_cache_dir)
-    cfg = spectral_config_from_opt(opt)
-    transform = SpectralTransform(cfg)
-    expr_dir = os.path.join(opt.checkpoints_dir, opt.name)
-    os.makedirs(expr_dir, exist_ok=True)
-
-    # ------------------------------------------------------------- input
-    try:
-        ds = AudioTestDataset(opt.dataroot, cfg.segment_length, overlap=opt.gen_overlap)
-    except Exception:
-        # reference behavior: print and exit (audio_dataset.py:149-151)
-        raise SystemExit("load audio failed")
-    raw = jnp.asarray(ds.raw_audio)[None]
-    print(f"Audio length: {ds.audio_len}")
-    if opt.is_lr_input:
-        lr_audio = resample(raw, ds.in_sampling_rate, cfg.hr_sampling_rate)
-    else:
-        lr_audio = degrade_lr(
-            raw, ds.in_sampling_rate, cfg.lr_sampling_rate, cfg.hr_sampling_rate
-        )
-    if opt.add_noise:
-        lr_audio = add_noise_snr(
-            lr_audio, jax.random.PRNGKey(opt.seed), opt.snr, cfg.segment_length
-        )
-    lr_np = np.asarray(lr_audio)[0]
-    segments = ds.segments_of(lr_np)  # (N, segment_length)
-    print(f"#audio segments = {len(segments)}")
-
-    # ------------------------------------------------------------- model
-    generator = build_generator(opt)
-    g_vars = None
-    if opt.load_pretrain:
-        g_path = os.path.join(opt.load_pretrain, f"{opt.which_epoch}_net_G.pth")
-        if os.path.exists(g_path):
-            sd = import_torch.load_pth(g_path)
-            params, stats = import_torch.import_generator(sd, generator)
-            g_vars = {"params": params, "batch_stats": stats}
-            print(f"imported pretrained G from {g_path}")
-        else:
-            # orbax checkpoint directory produced by our train.py; the
-            # template must match the saved opt-state STRUCTURE, so build the
-            # optimizers the same way train.py does (steps_per_epoch only
-            # affects schedule values, not structure)
-            from mdctgan_tpu.models.discriminator import build_discriminator
-            from mdctgan_tpu.train.schedule import make_optimizers
-            from mdctgan_tpu.train.state import create_train_state
-
-            g_tx, d_tx = make_optimizers(
-                opt.lr, opt.beta1, opt.niter, opt.niter_decay, 1
-            )
-            tmpl = create_train_state(
-                jax.random.PRNGKey(0), generator, build_discriminator(opt),
-                g_tx, d_tx,
-                spectro_shape=(cfg.n_bins, cfg.n_fft // 2),
-                g_in_channels=opt.input_nc,
-                d_in_channels=opt.input_nc + opt.output_nc,
-            )
-            mgr = ckpt_mod.CheckpointManager(os.path.join(opt.load_pretrain, "ckpt"))
-            state, _, _ = mgr.restore(tmpl)
-            g_vars = {"params": state.g_params, "batch_stats": state.batch_stats}
-            print(f"restored orbax checkpoint from {opt.load_pretrain}")
-    if g_vars is None:
-        raise SystemExit("--load_pretrain is required (no weights to run)")
-
-    infer = build_inference_fn(generator, transform, out_length=cfg.segment_length)
-
-    # ------------------------------------------------------------ forward
-    outs = []
-    bs = opt.batchSize
-    n = len(segments)
-    # pad the last batch to a full batch so one compiled program serves all
-    n_pad = (-n) % bs
-    padded = np.concatenate([segments, np.zeros((n_pad, cfg.segment_length),
-                                                np.float32)]) if n_pad else segments
-    for i in range(0, len(padded), bs):
-        _, sr_audio = infer(g_vars, jnp.asarray(padded[i : i + bs]))
-        outs.append(np.asarray(sr_audio[..., : cfg.segment_length]))
-    sr_segments = np.concatenate(outs)[:n]
-
-    # --------------------------------------------------- stitch + metrics
-    if opt.gen_overlap > 0:
-        sr = overlap_add_segments(sr_segments, cfg.segment_length, opt.gen_overlap)
-    else:
-        sr = sr_segments.reshape(-1)
-    # With gen_overlap > 0 the unfold can drop a sub-stride tail, leaving the
-    # stitched SR shorter than the input (the reference crashes there,
-    # generate_audio.py:57-60); crop everything to the common length instead.
-    audio_len = min(ds.audio_len, len(sr), len(lr_np))
-    hr = ds.raw_audio[:audio_len]
-    m = compute_metrics(
-        jnp.asarray(hr)[None],
-        jnp.asarray(lr_np[:audio_len])[None],
-        jnp.asarray(sr[:audio_len])[None],
-        cfg.n_fft, cfg.hop_length, cfg.win_length, cfg.center,
-    )
-    print(f"MSE: {float(m['mse']):.4f}")
-    print(f"SNR_SR: {float(m['snr_sr']):.4f}")
-    print(f"SNR_LR: {float(m['snr_lr']):.4f}")
-    print(f"LSD: {float(m['lsd']):.4f}")
-
-    with open(os.path.join(expr_dir, "metric.txt"), "w") as f:
-        f.write("MSE,SNR_SR,LSD\n")
-        f.write(f"{float(m['mse']):f},{float(m['snr_sr']):f},{float(m['lsd']):f}")
-    native.write_wav16(os.path.join(expr_dir, "sr_audio.wav"),
-                       sr[:audio_len], cfg.hr_sampling_rate)
-    native.write_wav16(os.path.join(expr_dir, "lr_audio.wav"),
-                       lr_np[:audio_len], cfg.hr_sampling_rate)
-    native.write_wav16(os.path.join(expr_dir, "hr_audio.wav"),
-                       hr, ds.in_sampling_rate)
-
+from mdctgan_tpu.generate_cli import main
 
 if __name__ == "__main__":
     main()

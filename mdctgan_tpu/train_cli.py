@@ -1,0 +1,319 @@
+#!/usr/bin/env python
+"""Training driver — CLI-compatible rebuild of the reference ``train.py``.
+
+Differences from the reference (all TPU-idiomatic, same observable behavior):
+  * one fused jitted GAN step instead of separate G/D backward launches
+    (reference train.py:160-199) — see mdctgan_tpu/train/step.py
+  * data-parallel over every local device via a jax.sharding.Mesh (the
+    reference is single-GPU; --gpu_ids picks how many devices join the mesh)
+  * orbax checkpoints carry params + BOTH optimizer states + the iteration
+    cursor (the reference loses optimizer state and keeps the cursor in
+    iter.txt, train.py:32-43)
+  * bf16 is the --fp16 equivalent; no GradScaler needed
+  * LR decay is an optax schedule over steps (pix2pixHD_model.py:664-673)
+"""
+
+from __future__ import annotations
+
+import os
+import signal
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mdctgan_tpu.data.dataset import AudioDataset
+from mdctgan_tpu.data.pipeline import InputPipeline
+from mdctgan_tpu.models.discriminator import build_discriminator
+from mdctgan_tpu.models.generator import build_generator
+from mdctgan_tpu.ops.features import SpectralTransform
+from mdctgan_tpu.ops.metrics import compute_metrics
+from mdctgan_tpu.options import TrainOptions, spectral_config_from_opt
+from mdctgan_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from mdctgan_tpu.train import checkpoint as ckpt_mod
+from mdctgan_tpu.train import import_torch
+from mdctgan_tpu.train.freeze import masked_optimizer, param_labels
+from mdctgan_tpu.train.schedule import make_optimizers
+from mdctgan_tpu.train.state import create_train_state
+from mdctgan_tpu.train.step import build_inference_fn, build_train_step
+from mdctgan_tpu.utils import ImagePool, Visualizer
+
+
+def main() -> None:
+    from mdctgan_tpu.parallel.mesh import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
+    opt = TrainOptions().parse()
+    np.random.seed(opt.seed)
+
+    if opt.multihost:
+        from mdctgan_tpu.parallel.mesh import init_multihost
+
+        init_multihost(opt.coordinator_address or None)
+        print(f"multihost: process {jax.process_index()}/{jax.process_count()}")
+    if opt.jax_cache_dir:
+        from mdctgan_tpu.parallel.mesh import enable_compilation_cache
+
+        enable_compilation_cache(opt.jax_cache_dir)
+
+    if opt.debug:  # train.py:75-80
+        opt.display_freq = opt.print_freq = 1
+        opt.niter = 1
+        opt.niter_decay = 0
+        opt.max_dataset_size = 10
+
+    cfg = spectral_config_from_opt(opt)
+    transform = SpectralTransform(cfg)
+    expr_dir = os.path.join(opt.checkpoints_dir, opt.name)
+
+    # ------------------------------------------------------------------ data
+    max_files = None if opt.max_dataset_size == float("inf") else int(opt.max_dataset_size)
+    train_ds = AudioDataset(
+        opt.dataroot, cfg.segment_length, seed=opt.seed, max_files=max_files,
+        serial=opt.serial_batches,
+    )
+    eval_ds = None
+    if opt.evalroot and os.path.exists(opt.evalroot):
+        eval_ds = AudioDataset(
+            opt.evalroot, cfg.segment_length, seed=opt.seed, max_files=max_files
+        )
+    dataset_size = len(train_ds)
+    steps_per_epoch = max(dataset_size // opt.batchSize, 1)
+    print(f"#training files = {dataset_size}")
+
+    # ------------------------------------------------------------------ mesh
+    if opt.multihost:
+        # global mesh over every device on every host; --batchSize is the
+        # PER-HOST batch (mirrors the reference's per-process DataLoader)
+        mesh = make_mesh(None)
+        local_dev = len(jax.local_devices())
+    else:
+        local_dev = min(len(opt.gpu_ids), len(jax.devices())) or 1
+        mesh = make_mesh(local_dev)
+    if opt.batchSize % local_dev != 0:
+        raise ValueError(
+            f"batchSize {opt.batchSize} not divisible by {local_dev} local devices"
+        )
+
+    # ----------------------------------------------------------------- model
+    generator = build_generator(opt)
+    discriminator = build_discriminator(opt)
+    g_tx, d_tx = make_optimizers(
+        opt.lr, opt.beta1, opt.niter, opt.niter_decay, steps_per_epoch
+    )
+
+    # --niter_fix_global / --freeze_* => optax masking (pix2pixHD_model.py:331-343)
+    def g_optimizer(fix_global: bool):
+        if not (fix_global or opt.freeze_g_d or opt.freeze_g_u
+                or opt.freeze_l_d or opt.freeze_l_u):
+            return g_tx
+
+        def labeler(params):
+            return param_labels(
+                params,
+                freeze_g_d=opt.freeze_g_d, freeze_g_u=opt.freeze_g_u,
+                freeze_l_d=opt.freeze_l_d, freeze_l_u=opt.freeze_l_u,
+                fix_global=fix_global,
+            )
+
+        return masked_optimizer(g_tx, labeler)
+
+    fix_global = opt.niter_fix_global > 0
+    state = create_train_state(
+        jax.random.PRNGKey(opt.seed), generator, discriminator,
+        g_optimizer(fix_global), d_tx,
+        spectro_shape=(cfg.n_bins, cfg.n_fft // 2),
+        g_in_channels=opt.input_nc,
+        d_in_channels=opt.input_nc + opt.output_nc,
+    )
+    print(f"Total number of parameters of G: {state.params_count()}")
+
+    # resume / pretrain (train.py:35-43; pix2pixHD_model.py:272-290)
+    start_epoch, epoch_iter = 1, 0
+    mgr = ckpt_mod.CheckpointManager(os.path.join(expr_dir, "ckpt"))
+    if opt.continue_train:
+        try:
+            state, start_epoch, epoch_iter = mgr.restore(state)
+            print(f"Resuming from epoch {start_epoch} at iteration {epoch_iter}")
+        except FileNotFoundError:
+            print("no checkpoint found — starting fresh")
+    elif opt.load_pretrain:
+        g_path = os.path.join(opt.load_pretrain, f"{opt.which_epoch}_net_G.pth")
+        d_path = os.path.join(opt.load_pretrain, f"{opt.which_epoch}_net_D.pth")
+        if os.path.exists(g_path):
+            sd = import_torch.load_pth(g_path)
+            params, stats = import_torch.import_generator(sd, generator)
+            state = state.replace(g_params=params, batch_stats=stats)
+            print(f"imported pretrained G from {g_path}")
+        if os.path.exists(d_path):
+            sd = import_torch.load_pth(d_path)
+            d_params = import_torch.import_discriminator(sd, opt.num_D, opt.n_layers_D)
+            state = state.replace(d_params=d_params)
+            print(f"imported pretrained D from {d_path}")
+
+    state = replicate(state, mesh)
+
+    # ------------------------------------------------------------- pipelines
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    batch_sharding = NamedSharding(mesh, P("data"))
+    pipeline = InputPipeline(
+        train_ds, cfg, opt.batchSize,
+        add_noise=opt.add_noise, snr=opt.snr, seed=opt.seed,
+        sharding=batch_sharding, n_threads=opt.nThreads,
+    )
+
+    pool = ImagePool(opt.pool_size, seed=opt.seed)
+    step_fn = build_train_step(
+        generator, discriminator, transform, g_optimizer(fix_global), d_tx,
+        use_lsgan=not opt.no_lsgan, lambda_feat=opt.lambda_feat,
+        n_layers_d=opt.n_layers_D, num_d=opt.num_D,
+        use_ganfeat=not opt.no_ganFeat_loss, use_pool=pool.enabled,
+    )
+    infer_fn = build_inference_fn(generator, transform, out_length=cfg.segment_length)
+
+    visualizer = Visualizer(opt)
+    eval_csv = os.path.join(expr_dir, "eval.csv")
+
+    # graceful SIGINT save (train.py:89-98)
+    interrupted = {"flag": False}
+
+    def _on_sigint(signum, frame):
+        interrupted["flag"] = True
+        print("SIGINT received — saving and exiting after this step")
+
+    signal.signal(signal.SIGINT, _on_sigint)
+
+    def save(epoch: int, it: int) -> None:
+        mgr.save(jax.device_get(state), epoch, it)
+        mgr.wait()
+
+    def run_eval(step: int, epoch: int) -> None:
+        if eval_ds is None:
+            return
+        n = min(opt.eval_size, len(eval_ds))
+        bs = opt.batchSize
+        rows = []
+        for i in range(0, n, bs):
+            hr, sr_rate = eval_ds.sample_batch(min(bs, n - i))
+            hr_j = jnp.asarray(hr)
+            from mdctgan_tpu.ops.resample import degrade_lr, fix_length, resample
+
+            hr_dev = fix_length(resample(hr_j, sr_rate, cfg.hr_sampling_rate),
+                                cfg.segment_length)
+            lr_dev = fix_length(
+                degrade_lr(hr_j, sr_rate, cfg.lr_sampling_rate, cfg.hr_sampling_rate),
+                cfg.segment_length)
+            g_vars = {"params": state.g_params, "batch_stats": state.batch_stats}
+            _, sr_audio = infer_fn(g_vars, lr_dev)
+            m = compute_metrics(hr_dev, lr_dev, sr_audio[..., : cfg.segment_length],
+                                cfg.n_fft, cfg.hop_length, cfg.win_length, cfg.center)
+            rows.append({k: float(v) for k, v in m.items()})
+        if rows:
+            avg = {k: float(np.mean([r[k] for r in rows])) for k in rows[0]}
+            header = not os.path.exists(eval_csv)
+            with open(eval_csv, "a") as f:
+                if header:
+                    f.write("step,epoch," + ",".join(avg) + "\n")
+                f.write(f"{step},{epoch}," + ",".join(f"{v:.6f}" for v in avg.values()) + "\n")
+            print(f"[eval] step {step}: " +
+                  " ".join(f"{k}={v:.4f}" for k, v in avg.items()))
+
+    rng = jax.random.PRNGKey(opt.seed)
+    total_steps = int(jax.device_get(state.step))
+    profiling = False
+    try:
+        for epoch in range(start_epoch, opt.niter + opt.niter_decay + 1):
+            epoch_start = time.time()
+            first_iter = epoch_iter if epoch == start_epoch else 0
+            epoch_iter = 0
+            for it in range(first_iter, steps_per_epoch):
+                iter_start = time.time()
+                batch = next(pipeline)
+                rng, sub = jax.random.split(rng)
+                if pool.enabled:
+                    b, c = opt.batchSize, opt.input_nc + opt.output_nc
+                    shape = (b, c, cfg.n_bins, cfg.n_fft // 2)
+                    old, mask = pool.presample(shape)
+                    state, metrics = step_fn(
+                        state, batch, sub, jnp.asarray(old), jnp.asarray(mask)
+                    )
+                    pool.commit(np.asarray(metrics.pop("fake_concat")))
+                else:
+                    state, metrics = step_fn(state, batch, sub)
+                total_steps += 1
+                epoch_iter = it + 1
+
+                # jax.profiler trace window (SURVEY.md §5.1 — absent in the
+                # reference; here from day one)
+                if opt.profile_dir and total_steps == opt.profile_step:
+                    jax.profiler.start_trace(opt.profile_dir)
+                    profiling = True
+                elif profiling and total_steps >= opt.profile_step + opt.profile_nsteps:
+                    jax.block_until_ready(metrics["loss_G"])
+                    jax.profiler.stop_trace()
+                    profiling = False
+                    print(f"profiler trace written to {opt.profile_dir}")
+
+                if total_steps % opt.print_freq == 0:
+                    errors = {k: float(v) for k, v in metrics.items()}
+                    t = time.time() - iter_start
+                    visualizer.print_current_errors(epoch, epoch_iter, errors, t)
+                    visualizer.plot_current_errors(errors, total_steps)
+                if total_steps % opt.display_freq == 0:
+                    g_vars = {"params": state.g_params,
+                              "batch_stats": state.batch_stats}
+                    lr_spec, _, _ = transform.lr_forward(batch["lr_audio"][:1])
+                    hr_spec, _, _ = transform.hr_forward(batch["hr_audio"][:1])
+                    sr_spec, _ = infer_fn(g_vars, batch["lr_audio"][:1])
+                    visualizer.display_current_results(
+                        {
+                            "lr_spectro": np.asarray(lr_spec)[0, 0],
+                            "sr_spectro": np.asarray(sr_spec)[0, 0],
+                            "hr_spectro": np.asarray(hr_spec)[0, 0],
+                        },
+                        epoch, total_steps,
+                    )
+                if total_steps % opt.save_latest_freq == 0:
+                    save(epoch, epoch_iter)
+                    print(f"saved latest (epoch {epoch}, iters {total_steps})")
+                # reference gate: eval only when validation_split > 0
+                # (train.py:85,227 — eval_delta is -1 otherwise)
+                if (opt.validation_split > 0 and opt.eval_freq > 0
+                        and total_steps % opt.eval_freq == 0):
+                    run_eval(total_steps, epoch)
+                if interrupted["flag"]:
+                    save(epoch, epoch_iter)
+                    print("exiting on SIGINT")
+                    return
+
+            print(f"End of epoch {epoch} / {opt.niter + opt.niter_decay} \t "
+                  f"Time Taken: {time.time() - epoch_start:.0f} sec")
+            if epoch % opt.save_epoch_freq == 0:
+                save(epoch + 1, 0)
+                print(f"saved model at end of epoch {epoch}")
+            # unfreeze global after niter_fix_global (train.py:257-258):
+            # fresh (unmasked) G optimizer, like the reference's new Adam.
+            if fix_global and epoch >= opt.niter_fix_global:
+                fix_global = False
+                print("------------- Now also finetuning global generator -----------")
+                state = state.replace(g_opt_state=g_tx.init(state.g_params))
+                step_fn = build_train_step(
+                    generator, discriminator, transform, g_optimizer(False), d_tx,
+                    use_lsgan=not opt.no_lsgan, lambda_feat=opt.lambda_feat,
+                    n_layers_d=opt.n_layers_D, num_d=opt.num_D,
+                    use_ganfeat=not opt.no_ganFeat_loss, use_pool=pool.enabled,
+                )
+    finally:
+        if profiling:
+            jax.profiler.stop_trace()
+            print(f"profiler trace written to {opt.profile_dir}")
+        pipeline.close()
+        visualizer.close()
+        mgr.close()
+
+
+if __name__ == "__main__":
+    main()
