@@ -20,7 +20,7 @@ from mdctgan_tpu.data.dataset import AudioAppDataset, overlap_add_segments
 from mdctgan_tpu.models.discriminator import build_discriminator
 from mdctgan_tpu.models.generator import build_generator
 from mdctgan_tpu.ops.features import SpectralTransform
-from mdctgan_tpu.ops.resample import add_noise_snr, degrade_lr, resample
+from mdctgan_tpu.ops.resample import degrade_lr, resample
 from mdctgan_tpu.options import spectral_config_from_opt
 from mdctgan_tpu.train.schedule import make_optimizers
 from mdctgan_tpu.train.state import GANTrainState, create_train_state

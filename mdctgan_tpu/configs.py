@@ -8,9 +8,6 @@ netG local / ngf 56 / 3 downsamples / 4 global resblocks + 3 attention blocks
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Any, Dict
-
 from mdctgan_tpu.models.discriminator import MultiscaleDiscriminator
 from mdctgan_tpu.models.generator import GlobalGenerator, LocalEnhancer
 from mdctgan_tpu.ops.features import SpectralConfig

@@ -11,7 +11,7 @@ Reference blocks: ResnetBlock (networks.py:421-463), ConvResBlock
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional, Tuple
+from typing import Any, Callable, Optional
 
 import flax.linen as nn
 import jax

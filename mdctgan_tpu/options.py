@@ -16,7 +16,6 @@ from __future__ import annotations
 
 import argparse
 import os
-from typing import Optional
 
 # audio_config.py:1-13 constants
 N_FFT = 512

@@ -10,9 +10,8 @@ both Adam states, step), plus the iteration cursor the reference keeps in
 from __future__ import annotations
 
 import os
-from typing import Any, Optional, Tuple
+from typing import Optional, Tuple
 
-import jax
 import orbax.checkpoint as ocp
 
 from mdctgan_tpu.train.state import GANTrainState

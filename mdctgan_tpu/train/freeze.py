@@ -4,7 +4,7 @@ pix2pixHD_model.py:331-343 ``--niter_fix_global``)."""
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict
+from typing import Any, Dict
 
 import flax.traverse_util as traverse
 import optax

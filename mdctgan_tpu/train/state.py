@@ -9,7 +9,7 @@ everything and resume is exact.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional
+from typing import Any
 
 import flax.struct
 import jax

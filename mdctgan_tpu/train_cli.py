@@ -17,7 +17,6 @@ from __future__ import annotations
 
 import os
 import signal
-import sys
 import time
 
 import jax
@@ -31,7 +30,7 @@ from mdctgan_tpu.models.generator import build_generator
 from mdctgan_tpu.ops.features import SpectralTransform
 from mdctgan_tpu.ops.metrics import compute_metrics
 from mdctgan_tpu.options import TrainOptions, spectral_config_from_opt
-from mdctgan_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from mdctgan_tpu.parallel.mesh import make_mesh, replicate
 from mdctgan_tpu.train import checkpoint as ckpt_mod
 from mdctgan_tpu.train import import_torch
 from mdctgan_tpu.train.freeze import masked_optimizer, param_labels
