@@ -29,6 +29,14 @@ Array = jax.Array
 _LN10 = float(np.log(10.0))
 
 
+def _single_tpu() -> bool:
+    try:
+        devs = jax.devices()
+        return len(devs) == 1 and devs[0].platform == "tpu"
+    except Exception:
+        return False
+
+
 @dataclasses.dataclass(frozen=True)
 class SpectralConfig:
     """Static configuration of the waveform<->spectrogram transform.
@@ -96,9 +104,25 @@ def db_to_amplitude(x: Array, ref: float = 10.0, power: float = 0.5) -> Array:
 
 
 class SpectralTransform:
-    """Bundles MDCT/IMDCT kernels + the normalization config."""
+    """Bundles MDCT/IMDCT kernels + the normalization config.
 
-    def __init__(self, cfg: SpectralConfig, dtype=jnp.float32):
+    ``use_fused``: route ``to_spectro`` through the fused Pallas
+    MDCT+arcsinh+affine kernel (ops/pallas_mdct.py) instead of the XLA
+    matmul + elementwise pipeline.  ``None`` (default) auto-enables it when
+    (a) the config is fused-compatible (arcsinh + abs_norm, hop = win/2,
+    center), and (b) exactly one TPU device is attached — under a multi-device
+    GSPMD mesh an opaque pallas custom-call would force operand all-gathers,
+    so sharded runs keep the XLA path unless explicitly forced.
+    ``fused_interpret`` runs the kernel in the Pallas interpreter (CPU tests).
+    """
+
+    def __init__(
+        self,
+        cfg: SpectralConfig,
+        dtype=jnp.float32,
+        use_fused: Optional[bool] = None,
+        fused_interpret: bool = False,
+    ):
         self.cfg = cfg
         self.mdct = MDCT(
             cfg.n_fft, cfg.hop_length, cfg.win_length, "kbd", cfg.center, dtype=dtype
@@ -112,6 +136,41 @@ class SpectralTransform:
             out_length=None,
             dtype=dtype,
         )
+        self.fused_interpret = fused_interpret
+        compatible = self._fused_compatible(dtype)
+        if use_fused is None:
+            use_fused = compatible and _single_tpu()
+        elif use_fused and not compatible:
+            raise ValueError(
+                "use_fused=True requires arcsinh_transform + abs_norm with "
+                "hop = win/2 = n_fft/2, center=True, float32, and an "
+                "increasing src_range/norm_range affine"
+            )
+        self.use_fused = bool(use_fused)
+
+    def _fused_compatible(self, dtype) -> bool:
+        cfg = self.cfg
+        return (
+            cfg.arcsinh_transform
+            and not cfg.explicit_encoding
+            and not cfg.raw_mdct
+            and cfg.abs_norm
+            and cfg.center
+            and cfg.win_length == cfg.n_fft
+            and cfg.hop_length * 2 == cfg.win_length
+            and dtype == jnp.float32
+            and cfg.src_range[1] > cfg.src_range[0]
+            and cfg.norm_range[1] > cfg.norm_range[0]
+        )
+
+    def _fused_affine(self) -> Tuple[float, float]:
+        """normalize() collapsed to one affine: out = asinh(g*x)/ln10 * scale
+        + shift (valid because abs_norm makes lo/hi static constants)."""
+        cfg = self.cfg
+        lo, hi = cfg.src_range
+        scale = (cfg.norm_range[1] - cfg.norm_range[0]) / (hi - lo)
+        shift = cfg.norm_range[0] - lo * scale
+        return scale, shift
 
     # ------------------------------------------------------------------ #
     # normalize / denormalize (pix2pixHD_model.py:83-137)
@@ -167,9 +226,33 @@ class SpectralTransform:
         rng: Optional[Array] = None,
     ):
         cfg = self.cfg
-        spectro = self.mdct(audio)[:, None]  # (B, 1, F, K) NCHW image
-        pha = jnp.sign(spectro)
-        log_spectro, norm_param = self.normalize(spectro)
+        if self.use_fused:
+            from mdctgan_tpu.ops.pallas_mdct import mdct_spectro_fused
+
+            scale, shift = self._fused_affine()
+            log_spectro = mdct_spectro_fused(
+                audio,
+                cfg.n_fft,
+                cfg.hop_length,
+                cfg.win_length,
+                gain=cfg.arcsinh_gain,
+                scale=scale,
+                shift=shift,
+                interpret=self.fused_interpret,
+            )[:, None]  # (B, 1, F, K) NCHW image
+            # sign(x) == sign(asinh(g x) * scale) == sign(out - shift) since
+            # scale > 0; exact at 0 (out == shift there).  pha is decorative
+            # on this (arcsinh) path — to_audio never consumes it.
+            pha = jnp.sign(log_spectro - shift)
+            dt = log_spectro.dtype
+            norm_param = {
+                "max": jnp.full((1, 1, 1, 1), cfg.src_range[1], dt),
+                "min": jnp.full((1, 1, 1, 1), cfg.src_range[0], dt),
+            }
+        else:
+            spectro = self.mdct(audio)[:, None]  # (B, 1, F, K) NCHW image
+            pha = jnp.sign(spectro)
+            log_spectro, norm_param = self.normalize(spectro)
         if not cfg.explicit_encoding and rng is not None:
             # Decorative phase jitter (pix2pixHD_model.py:49-54); only the
             # non-arcsinh inference path consumes pha at all.

@@ -101,3 +101,60 @@ def test_jit_to_spectro(rng):
     f = jax.jit(lambda a: tf.to_spectro(a)[0])
     out = f(make_audio(rng))
     assert out.shape == (2, 1, 128, 256)
+
+
+# --------------------------------------------------------------------------
+# Fused Pallas to_spectro path (ops/pallas_mdct.py wired into the transform)
+# --------------------------------------------------------------------------
+
+def test_fused_to_spectro_matches_unfused(rng):
+    cfg = SpectralConfig()
+    ref = SpectralTransform(cfg, use_fused=False)
+    fused = SpectralTransform(cfg, use_fused=True, fused_interpret=True)
+    audio = make_audio(rng)
+    spec_ref, pha_ref, p_ref = ref.to_spectro(audio)
+    spec_f, pha_f, p_f = fused.to_spectro(audio)
+    np.testing.assert_allclose(np.asarray(spec_f), np.asarray(spec_ref),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(p_f["min"]), np.asarray(p_ref["min"]))
+    np.testing.assert_allclose(np.asarray(p_f["max"]), np.asarray(p_ref["max"]))
+    # pha is sign-recovered from the fused affine output; compare away from 0
+    # where fp cancellation could flip it (decorative on the arcsinh path).
+    raw = np.asarray(ref.mdct(audio)[:, None])
+    big = np.abs(raw) > 1e-5
+    np.testing.assert_array_equal(np.asarray(pha_f)[big], np.asarray(pha_ref)[big])
+
+
+def test_fused_lr_forward_masked_matches(rng):
+    cfg = SpectralConfig(mask=True, fit_residual=True)
+    ref = SpectralTransform(cfg, use_fused=False)
+    fused = SpectralTransform(cfg, use_fused=True, fused_interpret=True)
+    audio = make_audio(rng)
+    spec_ref, _, _ = ref.lr_forward(audio)
+    spec_f, _, _ = fused.lr_forward(audio)
+    assert cfg.lr_mask_size > 0
+    assert np.all(np.asarray(spec_f)[..., -cfg.lr_mask_size:] == 0)
+    np.testing.assert_allclose(np.asarray(spec_f), np.asarray(spec_ref),
+                               atol=1e-4)
+
+
+def test_fused_roundtrip_to_audio(rng):
+    cfg = SpectralConfig()
+    fused = SpectralTransform(cfg, use_fused=True, fused_interpret=True)
+    audio = make_audio(rng)
+    spec, pha, p = fused.to_spectro(audio)
+    out = fused.to_audio(spec, p, pha, out_length=32512)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(audio), atol=1e-4)
+
+
+def test_fused_auto_detection_off_on_cpu():
+    # Auto mode must not pick the pallas path on the CPU test mesh.
+    assert SpectralTransform(SpectralConfig()).use_fused is False
+
+
+def test_fused_rejects_incompatible_config():
+    import pytest
+    with pytest.raises(ValueError):
+        SpectralTransform(
+            SpectralConfig(arcsinh_transform=False), use_fused=True
+        )
