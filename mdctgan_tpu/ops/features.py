@@ -295,6 +295,28 @@ class SpectralTransform:
         out_length: Optional[int] = None,
     ) -> Array:
         cfg = self.cfg
+        if self.use_fused:
+            # Fused denormalize(sinh) + IMDCT matmul + overlap-add kernel.
+            # norm_param is ignored: fused compatibility requires abs_norm,
+            # so the params are always the static src_range constants.
+            from mdctgan_tpu.ops.pallas_mdct import imdct_audio_fused
+
+            lo, hi = cfg.src_range
+            scale = (hi - lo) / (cfg.norm_range[1] - cfg.norm_range[0])
+            shift = lo - cfg.norm_range[0] * scale
+            audio = imdct_audio_fused(
+                log_spectro[:, 0],
+                cfg.n_fft,
+                cfg.hop_length,
+                cfg.win_length,
+                gain=cfg.arcsinh_gain,
+                scale=scale,
+                shift=shift,
+                interpret=self.fused_interpret,
+            )
+            if out_length is not None:
+                audio = audio[..., :out_length]
+            return audio
         spectro = self.denormalize(log_spectro, norm_param["min"], norm_param["max"])
         if cfg.explicit_encoding:
             spectro = (spectro[:, 0] - spectro[:, 1]) / (2 * cfg.alpha - 1)

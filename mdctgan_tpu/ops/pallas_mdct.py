@@ -150,6 +150,102 @@ def mdct_spectro_fused(
     return out[:, :n_frames]
 
 
+def _ikernel(spec_ref, mat_ref, out_ref, *, hop_length: int, gain: float,
+             scale: float, shift: float):
+    # spec_ref: (1, n_rows, K) normalized spectra; denormalize (affine +
+    # sinh) -> synthesis matmul -> cropped overlap-add, all in VMEM.
+    # out[c] = frames[c, hop:] + frames[c+1, :hop]  (ops/mdct.py overlap_add
+    # for the hop = win/2, center=True geometry); the c+1 row shift is a
+    # full-block pltpu.roll like the forward kernel's band trick — rolled-in
+    # garbage only lands in rows >= n_frames-1, cropped by the caller.
+    y = spec_ref[0]
+    x = y * scale + shift
+    if gain != 0.0:
+        # sinh(x*ln10)/gain via exp (Mosaic has no sinh/asinh lowering).
+        e = jnp.exp(x * _LN10)
+        x = (e - 1.0 / e) * (0.5 / gain)
+    frames = jnp.dot(
+        x,
+        mat_ref[...],
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    n_rows = frames.shape[0]
+    nxt = pltpu.roll(frames, shift=n_rows - 1, axis=0)
+    out_ref[0, :, :] = frames[:, hop_length:] + nxt[:, :hop_length]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_fft", "hop_length", "win_length", "gain", "scale", "shift", "interpret",
+    ),
+)
+def imdct_audio_fused(
+    spectrum: Array,
+    n_fft: int = 512,
+    hop_length: int = 256,
+    win_length: int = 512,
+    gain: float = 0.0,
+    scale: float = 1.0,
+    shift: float = 0.0,
+    interpret: bool = False,
+) -> Array:
+    """(B, F, n_fft//2) normalized spectra -> (B, (F-1)*hop) waveform.
+
+    The inverse of :func:`mdct_spectro_fused`: fuses the denormalization
+    (affine from norm_range back to src_range, then sinh(x*ln10)/gain when
+    ``gain != 0``), the synthesis matmul against the windowed (N/2, win)
+    IMDCT kernel (4/N and window folded in, as ops/mdct.py IMDCT), and the
+    center-cropped overlap-add — replacing the reference's denormalize
+    (pix2pixHD_model.py:127-137) + IMDCT4 (models/mdct.py:457-489) pipeline.
+    """
+    if win_length != n_fft or hop_length * 2 != win_length:
+        raise NotImplementedError("fused kernel requires hop = win/2 = n_fft/2")
+    b, f, k = spectrum.shape
+    if k != n_fft // 2:
+        raise ValueError(f"expected {n_fft // 2} bins, got {k}")
+    n_rows = -(-f // 8) * 8
+    if n_rows > f:
+        spectrum = jnp.pad(spectrum, ((0, 0), (0, n_rows - f), (0, 0)))
+
+    window = kbd_window(win_length)
+    m = mdct_matrix(n_fft, window).astype(np.float64)  # (win, N/2) windowed
+    mat = jnp.asarray((4.0 / n_fft) * m.T, jnp.float32)  # (N/2, win)
+
+    kern = functools.partial(
+        _ikernel, hop_length=hop_length,
+        gain=float(gain), scale=float(scale), shift=float(shift),
+    )
+    out = pl.pallas_call(
+        kern,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, n_rows, k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (k, win_length), lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, n_rows, hop_length), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, n_rows, hop_length), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n_rows * k * win_length,
+            bytes_accessed=(
+                b * n_rows * k * 4
+                + k * win_length * 4
+                + b * n_rows * hop_length * 4
+            ),
+            transcendentals=b * n_rows * k if gain else 0,
+        ),
+        interpret=interpret,
+    )(spectrum, mat)
+    return out[:, : f - 1].reshape(b, (f - 1) * hop_length)
+
+
 def is_tpu() -> bool:
     try:
         return jax.devices()[0].platform == "tpu"

@@ -36,3 +36,43 @@ def test_fused_rejects_bad_geometry(rng):
     with pytest.raises(NotImplementedError):
         mdct_spectro_fused(x, n_fft=512, hop_length=128, win_length=512,
                            interpret=True)
+
+
+# --------------------------------------------------------------------------
+# Fused inverse: denormalize(sinh) + IMDCT + overlap-add
+# --------------------------------------------------------------------------
+
+def test_fused_imdct_matches_unfused(rng):
+    from mdctgan_tpu.ops.mdct import IMDCT
+    from mdctgan_tpu.ops.pallas_mdct import imdct_audio_fused
+
+    # y spans the real normalized range [-1, 1] (norm_range); wider inputs
+    # make sinh explode past f32 usefulness and aren't reachable in practice.
+    y = jnp.asarray(rng.uniform(-1.0, 1.0, (2, 128, 256)), jnp.float32)
+    scale, shift = 5.0, 0.0
+    spec = np.sinh((np.asarray(y, np.float64) * scale + shift) * _LN10) / 1000.0
+    ref = np.asarray(IMDCT(512)(jnp.asarray(spec, jnp.float32)))
+    got = np.asarray(
+        imdct_audio_fused(y, gain=1000.0, scale=scale, shift=shift, interpret=True)
+    )
+    assert got.shape == (2, 127 * 256)
+    np.testing.assert_allclose(got, ref, atol=1e-3)
+
+
+def test_fused_imdct_raw_mode(rng):
+    from mdctgan_tpu.ops.mdct import IMDCT
+    from mdctgan_tpu.ops.pallas_mdct import imdct_audio_fused
+
+    spec = jnp.asarray(rng.standard_normal((1, 40, 256)), jnp.float32)
+    ref = np.asarray(IMDCT(512)(spec))
+    got = np.asarray(imdct_audio_fused(spec, gain=0.0, interpret=True))
+    np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+def test_fused_forward_inverse_roundtrip(rng):
+    from mdctgan_tpu.ops.pallas_mdct import imdct_audio_fused
+
+    x = jnp.asarray(0.1 * rng.standard_normal((2, 32512)), jnp.float32)
+    y = mdct_spectro_fused(x, gain=1000.0, scale=0.1, shift=0.0, interpret=True)
+    back = imdct_audio_fused(y, gain=1000.0, scale=10.0, shift=0.0, interpret=True)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(x), atol=1e-4)
