@@ -6,9 +6,11 @@
 // the host input pipeline off the Python GIL.  Exposed to Python via a plain
 // C ABI consumed with ctypes (mdctgan_tpu/data/native.py).
 //
-// Supported containers: RIFF/WAVE with PCM 16/24/32-bit and IEEE float32.
-// (VCTK ships 16-bit PCM WAV.)
+// Supported containers: RIFF/WAVE with PCM 16/24/32-bit and IEEE float32,
+// and FLAC (flac.cc) — the reference's canonical VCTK corpus is FLAC
+// (data/compress_audio.sh).
 
+#include <algorithm>
 #include <atomic>
 #include <cmath>
 #include <condition_variable>
@@ -22,7 +24,30 @@
 #include <thread>
 #include <vector>
 
+#include "flac.h"
+
 namespace {
+
+bool read_all_bytes(std::FILE* f, std::vector<uint8_t>* buf) {
+  if (std::fseek(f, 0, SEEK_END) != 0) return false;
+  long sz = std::ftell(f);
+  if (sz < 0 || std::fseek(f, 0, SEEK_SET) != 0) return false;
+  buf->resize(static_cast<size_t>(sz));
+  return std::fread(buf->data(), 1, buf->size(), f) == buf->size();
+}
+
+bool file_magic(std::FILE* f, char magic[4]) {
+  if (std::fread(magic, 1, 4, f) != 4) return false;
+  return std::fseek(f, 0, SEEK_SET) == 0;
+}
+
+// Whole-file FLAC decode to mono float32 (channel 0).
+bool decode_flac_file(std::FILE* f, flacdec::Info* info,
+                      std::vector<float>* mono) {
+  std::vector<uint8_t> bytes;
+  if (!read_all_bytes(f, &bytes)) return false;
+  return flacdec::DecodeMono(bytes.data(), bytes.size(), info, mono);
+}
 
 struct WavInfo {
   uint32_t sample_rate = 0;
@@ -173,17 +198,37 @@ class Prefetcher {
       seg.data.assign(segment_frames_, 0.0f);
       std::FILE* f = std::fopen(files_[idx].c_str(), "rb");
       if (!f) continue;  // skip unreadable files (audio_dataset.py:56-65)
-      WavInfo info;
-      bool ok = read_wav_header(f, &info);
-      if (ok) {
-        uint64_t max_start = info.num_frames > segment_frames_
-                                 ? info.num_frames - segment_frames_
-                                 : 0;
-        uint64_t off = max_start
-            ? std::uniform_int_distribution<uint64_t>(0, max_start - 1)(rng)
-            : 0;
-        ok = decode_frames(f, info, off, segment_frames_, seg.data.data());
-        seg.sample_rate = info.sample_rate;
+      bool ok = false;
+      char magic[4];
+      if (file_magic(f, magic) && std::memcmp(magic, "fLaC", 4) == 0) {
+        flacdec::Info finfo;
+        std::vector<float> mono;
+        ok = decode_flac_file(f, &finfo, &mono);
+        if (ok) {
+          uint64_t n = mono.size();
+          uint64_t max_start = n > segment_frames_ ? n - segment_frames_ : 0;
+          uint64_t off = max_start
+              ? std::uniform_int_distribution<uint64_t>(0, max_start - 1)(rng)
+              : 0;
+          uint64_t copy = n > off ? std::min<uint64_t>(n - off, segment_frames_)
+                                  : 0;
+          std::memcpy(seg.data.data(), mono.data() + off,
+                      copy * sizeof(float));
+          seg.sample_rate = finfo.sample_rate;
+        }
+      } else {
+        WavInfo info;
+        ok = read_wav_header(f, &info);
+        if (ok) {
+          uint64_t max_start = info.num_frames > segment_frames_
+                                   ? info.num_frames - segment_frames_
+                                   : 0;
+          uint64_t off = max_start
+              ? std::uniform_int_distribution<uint64_t>(0, max_start - 1)(rng)
+              : 0;
+          ok = decode_frames(f, info, off, segment_frames_, seg.data.data());
+          seg.sample_rate = info.sample_rate;
+        }
       }
       std::fclose(f);
       if (!ok) continue;
@@ -215,6 +260,18 @@ int audioio_info(const char* path, uint32_t* sample_rate, uint32_t* channels,
                  uint64_t* num_frames) {
   std::FILE* f = std::fopen(path, "rb");
   if (!f) return -1;
+  char magic[4];
+  if (file_magic(f, magic) && std::memcmp(magic, "fLaC", 4) == 0) {
+    std::vector<uint8_t> bytes;
+    bool ok = read_all_bytes(f, &bytes);
+    std::fclose(f);
+    flacdec::Info info;
+    if (!ok || !flacdec::Probe(bytes.data(), bytes.size(), &info)) return -2;
+    *sample_rate = info.sample_rate;
+    *channels = info.channels;
+    *num_frames = info.num_frames;
+    return 0;
+  }
   WavInfo info;
   bool ok = read_wav_header(f, &info);
   std::fclose(f);
@@ -230,6 +287,19 @@ int audioio_read(const char* path, uint64_t offset, uint64_t frames,
                  float* out, uint32_t* sample_rate) {
   std::FILE* f = std::fopen(path, "rb");
   if (!f) return -1;
+  char magic[4];
+  if (file_magic(f, magic) && std::memcmp(magic, "fLaC", 4) == 0) {
+    flacdec::Info info;
+    std::vector<float> mono;
+    bool ok = decode_flac_file(f, &info, &mono);
+    std::fclose(f);
+    if (!ok) return -2;
+    uint64_t n = mono.size();
+    for (uint64_t i = 0; i < frames; ++i)
+      out[i] = (offset + i < n) ? mono[offset + i] : 0.0f;
+    *sample_rate = info.sample_rate;
+    return 0;
+  }
   WavInfo info;
   bool ok = read_wav_header(f, &info);
   if (ok) ok = decode_frames(f, info, offset, frames, out);
