@@ -21,7 +21,7 @@ from mdctgan_tpu.models.discriminator import build_discriminator
 from mdctgan_tpu.models.generator import build_generator
 from mdctgan_tpu.ops.features import SpectralTransform
 from mdctgan_tpu.ops.resample import degrade_lr, resample
-from mdctgan_tpu.options import spectral_config_from_opt
+from mdctgan_tpu.options import spectral_config_from_opt, use_fused_from_opt
 from mdctgan_tpu.train.schedule import make_optimizers
 from mdctgan_tpu.train.state import GANTrainState, create_train_state
 from mdctgan_tpu.train.step import build_inference_fn, build_train_step
@@ -52,7 +52,7 @@ def create_model(opt, rng: Optional[jax.Array] = None, is_train: Optional[bool] 
     if is_train is None:
         is_train = bool(getattr(opt, "isTrain", True))
     cfg = spectral_config_from_opt(opt)
-    transform = SpectralTransform(cfg)
+    transform = SpectralTransform(cfg, use_fused=use_fused_from_opt(opt))
     generator = build_generator(opt)
     discriminator = build_discriminator(opt)
     g_tx, d_tx = make_optimizers(

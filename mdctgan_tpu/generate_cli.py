@@ -25,7 +25,7 @@ from mdctgan_tpu.models.generator import build_generator
 from mdctgan_tpu.ops.features import SpectralTransform
 from mdctgan_tpu.ops.metrics import compute_metrics
 from mdctgan_tpu.ops.resample import add_noise_snr, degrade_lr, resample
-from mdctgan_tpu.options import TrainOptions, spectral_config_from_opt
+from mdctgan_tpu.options import TrainOptions, spectral_config_from_opt, use_fused_from_opt
 from mdctgan_tpu.train import checkpoint as ckpt_mod
 from mdctgan_tpu.train import import_torch
 from mdctgan_tpu.train.step import build_inference_fn
@@ -41,7 +41,7 @@ def main() -> None:
 
         enable_compilation_cache(opt.jax_cache_dir)
     cfg = spectral_config_from_opt(opt)
-    transform = SpectralTransform(cfg)
+    transform = SpectralTransform(cfg, use_fused=use_fused_from_opt(opt))
     expr_dir = os.path.join(opt.checkpoints_dir, opt.name)
     os.makedirs(expr_dir, exist_ok=True)
 

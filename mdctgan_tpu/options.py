@@ -54,6 +54,11 @@ class BaseOptions:
         p.add_argument("--verbose", action="store_true", default=False)
         p.add_argument("--fp16", action="store_true", default=False,
                        help="bf16 compute policy (TPU equivalent of AMP)")
+        p.add_argument("--fused_mdct", type=str, default="auto",
+                       choices=["auto", "on", "off"],
+                       help="fused Pallas MDCT/IMDCT+normalize kernels: auto "
+                            "enables on a single TPU chip when the spectral "
+                            "config is compatible")
         p.add_argument("--local_rank", type=int, default=0)
         p.add_argument("--seed", type=int, default=42)
         p.add_argument("--fit_residual", action="store_true", default=False)
@@ -263,3 +268,10 @@ def spectral_config_from_opt(opt):
         fit_residual=opt.fit_residual,
         abs_spectro=bool(getattr(opt, "abs_spectro", False)),
     )
+
+
+def use_fused_from_opt(opt):
+    """--fused_mdct flag -> SpectralTransform(use_fused=...) argument."""
+    return {"auto": None, "on": True, "off": False}[
+        getattr(opt, "fused_mdct", "auto")
+    ]

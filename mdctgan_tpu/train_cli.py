@@ -29,7 +29,7 @@ from mdctgan_tpu.models.discriminator import build_discriminator
 from mdctgan_tpu.models.generator import build_generator
 from mdctgan_tpu.ops.features import SpectralTransform
 from mdctgan_tpu.ops.metrics import compute_metrics
-from mdctgan_tpu.options import TrainOptions, spectral_config_from_opt
+from mdctgan_tpu.options import TrainOptions, spectral_config_from_opt, use_fused_from_opt
 from mdctgan_tpu.parallel.mesh import make_mesh, replicate
 from mdctgan_tpu.train import checkpoint as ckpt_mod
 from mdctgan_tpu.train import import_torch
@@ -64,7 +64,7 @@ def main() -> None:
         opt.max_dataset_size = 10
 
     cfg = spectral_config_from_opt(opt)
-    transform = SpectralTransform(cfg)
+    transform = SpectralTransform(cfg, use_fused=use_fused_from_opt(opt))
     expr_dir = os.path.join(opt.checkpoints_dir, opt.name)
 
     # ------------------------------------------------------------------ data
