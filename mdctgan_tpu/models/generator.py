@@ -27,6 +27,7 @@ from mdctgan_tpu.models.layers import (
     ConvResBlock,
     ConvTransposed,
     InterpolateUpsample,
+    PolyphaseConv,
     ResnetBlock,
     avg_pool_3x3_s2,
     instance_norm,
@@ -130,7 +131,7 @@ class GlobalGenerator(nn.Module):
         if not self.include_head:
             return h
         h = reflect_pad(h, 3)
-        h = Conv(self.output_nc, 7, dtype=self.dtype, name="head")(h)
+        h = PolyphaseConv(self.output_nc, 7, dtype=self.dtype, name="head")(h)
         return nn.tanh(h.astype(jnp.float32))
 
 
@@ -239,7 +240,7 @@ class LocalEnhancer(nn.Module):
                             dtype=self.dtype)(h)
         h = instance_norm_relu(h)
         h = reflect_pad(h, 3)
-        h = Conv(self.output_nc, 7, dtype=self.dtype, name="local_head")(h)
+        h = PolyphaseConv(self.output_nc, 7, dtype=self.dtype, name="local_head")(h)
         return nn.tanh(h.astype(jnp.float32))
 
 

@@ -180,3 +180,66 @@ def test_bf16_grads_finite():
     for leaf in jax.tree.leaves(g):
         assert np.isfinite(np.asarray(leaf, np.float32)).all()
         assert leaf.dtype == jnp.float32
+
+
+# --------------------------------------------------------------------------
+# PolyphaseConv: the MXU-restructured tanh-head conv
+# --------------------------------------------------------------------------
+
+def test_polyphase_conv_matches_dense(rng):
+    import jax
+    import jax.numpy as jnp
+    from mdctgan_tpu.models.layers import Conv, PolyphaseConv
+
+    x = jnp.asarray(rng.standard_normal((2, 14, 38, 8)), jnp.float32)  # 32%16=0
+    dense = Conv(1, 7)
+    poly = PolyphaseConv(1, 7, phases=16)
+    params = dense.init(jax.random.PRNGKey(0), x)
+    # identical param tree -> dense params drop straight in
+    ref = dense.apply(params, x)
+    got = poly.apply(params, x)
+    assert got.shape == ref.shape == (2, 8, 32, 1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+    # gradients through both paths agree
+    def loss(fn, p):
+        return jnp.sum(jnp.tanh(fn.apply(p, x)) ** 2)
+
+    g1 = jax.grad(lambda p: loss(dense, p))(params)
+    g2 = jax.grad(lambda p: loss(poly, p))(params)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5
+        ),
+        g1, g2,
+    )
+
+
+def test_polyphase_conv_fallback_non_divisible(rng):
+    import jax
+    import jax.numpy as jnp
+    from mdctgan_tpu.models.layers import Conv, PolyphaseConv
+
+    x = jnp.asarray(rng.standard_normal((1, 10, 21, 4)), jnp.float32)  # 15%16!=0
+    dense = Conv(1, 7)
+    poly = PolyphaseConv(1, 7, phases=16)
+    params = dense.init(jax.random.PRNGKey(0), x)
+    np.testing.assert_allclose(
+        np.asarray(poly.apply(params, x)), np.asarray(dense.apply(params, x)),
+        atol=1e-5,
+    )
+
+
+def test_polyphase_conv_multifeature(rng):
+    import jax
+    import jax.numpy as jnp
+    from mdctgan_tpu.models.layers import Conv, PolyphaseConv
+
+    x = jnp.asarray(rng.standard_normal((1, 9, 14, 4)), jnp.float32)  # w_out 8
+    dense = Conv(3, 7)
+    poly = PolyphaseConv(3, 7, phases=4)
+    params = dense.init(jax.random.PRNGKey(0), x)
+    np.testing.assert_allclose(
+        np.asarray(poly.apply(params, x)), np.asarray(dense.apply(params, x)),
+        atol=1e-5,
+    )
