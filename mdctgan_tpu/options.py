@@ -200,6 +200,9 @@ class TrainOptions(BaseOptions):
                        help="number of steps to trace")
         p.add_argument("--multihost", action="store_true",
                        help="jax.distributed multi-host (DCN) training")
+        p.add_argument("--accum_steps", type=int, default=1,
+                       help="gradient accumulation: average grads over k "
+                            "micro-batches, apply Adam every k-th step")
         p.add_argument("--jax_cache_dir", type=str,
                        default=os.path.expanduser("~/.cache/mdctgan_tpu_xla"),
                        help="persistent XLA compilation cache ('' disables)")

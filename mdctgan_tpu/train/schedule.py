@@ -31,10 +31,22 @@ def make_optimizers(
     niter: int,
     niter_decay: int,
     steps_per_epoch: int,
+    accum_steps: int = 1,
 ):
     """The reference's two Adam optimizers (pix2pixHD_model.py:344-364):
-    Adam(lr, betas=(beta1, 0.999)) for G and D, with the epoch-linear decay."""
-    sched = pix2pixhd_lr_schedule(lr, niter, niter_decay, steps_per_epoch)
+    Adam(lr, betas=(beta1, 0.999)) for G and D, with the epoch-linear decay.
+
+    ``accum_steps > 1`` (no reference equivalent — a TPU-native addition for
+    HBM-bound large effective batches) wraps both in ``optax.MultiSteps``:
+    gradients average over k micro-batches and Adam applies every k-th step.
+    The decay schedule then counts EFFECTIVE updates, so epoch boundaries
+    stay aligned."""
+    accum = max(int(accum_steps), 1)
+    eff_steps_per_epoch = max(steps_per_epoch // accum, 1)
+    sched = pix2pixhd_lr_schedule(lr, niter, niter_decay, eff_steps_per_epoch)
     g_tx = optax.adam(sched, b1=beta1, b2=0.999)
     d_tx = optax.adam(sched, b1=beta1, b2=0.999)
+    if accum > 1:
+        g_tx = optax.MultiSteps(g_tx, every_k_schedule=accum)
+        d_tx = optax.MultiSteps(d_tx, every_k_schedule=accum)
     return g_tx, d_tx

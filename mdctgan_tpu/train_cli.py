@@ -100,7 +100,8 @@ def main() -> None:
     generator = build_generator(opt)
     discriminator = build_discriminator(opt)
     g_tx, d_tx = make_optimizers(
-        opt.lr, opt.beta1, opt.niter, opt.niter_decay, steps_per_epoch
+        opt.lr, opt.beta1, opt.niter, opt.niter_decay, steps_per_epoch,
+        accum_steps=opt.accum_steps,
     )
 
     # --niter_fix_global / --freeze_* => optax masking (pix2pixHD_model.py:331-343)

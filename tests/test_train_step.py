@@ -125,3 +125,66 @@ def test_feature_matching_learns_sr(rng):
         feats.append(float(metrics["G_GAN_Feat"]))
     assert np.mean(feats[-5:]) < np.mean(feats[:5])
     assert all(np.isfinite(feats))
+
+
+def test_gradient_accumulation_matches_plain_step(rng):
+    """optax.MultiSteps(k=2) with the same micro-batch twice == one plain
+    Adam step on that batch (averaging identical grads is a no-op)."""
+    from mdctgan_tpu.models.discriminator import MultiscaleDiscriminator
+    from mdctgan_tpu.models.generator import GlobalGenerator
+    from mdctgan_tpu.train.schedule import make_optimizers
+
+    tf = SpectralTransform(TINY)
+    gen = GlobalGenerator(
+        input_nc=2, output_nc=1, ngf=4, n_downsampling=2, n_blocks=1,
+        n_attn=1, heads=2, dim_head=4, input_size=(32, 32),
+        downsample_type="resconv", upsample_type="interpolate",
+    )
+    disc = MultiscaleDiscriminator(ndf=4, n_layers=2, num_D=2)
+    batch = {
+        "lr_audio": jnp.asarray(0.1 * rng.standard_normal((2, 992)), jnp.float32),
+        "hr_audio": jnp.asarray(0.1 * rng.standard_normal((2, 992)), jnp.float32),
+    }
+    key = jax.random.PRNGKey(3)
+
+    def run(accum):
+        g_tx, d_tx = make_optimizers(2e-4, 0.5, 10, 0, steps_per_epoch=10,
+                                     accum_steps=accum)
+        state = create_train_state(
+            jax.random.PRNGKey(0), gen, disc, g_tx, d_tx,
+            spectro_shape=(32, 32), g_in_channels=2, d_in_channels=3,
+        )
+        step = build_train_step(gen, disc, tf, g_tx, d_tx,
+                                n_layers_d=2, num_d=2, donate=False)
+        for _ in range(accum):
+            state, metrics = step(state, batch, key)
+        return state
+
+    plain = run(1)
+    accum = run(2)
+    # mid-accumulation the params must NOT move
+    g_tx, d_tx = make_optimizers(2e-4, 0.5, 10, 0, 10, accum_steps=2)
+    st0 = create_train_state(
+        jax.random.PRNGKey(0), gen, disc, g_tx, d_tx,
+        spectro_shape=(32, 32), g_in_channels=2, d_in_channels=3,
+    )
+    step2 = build_train_step(gen, disc, tf, g_tx, d_tx,
+                             n_layers_d=2, num_d=2, donate=False)
+    st1, _ = step2(st0, batch, key)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        st1.g_params, st0.g_params,
+    )
+    # after the k-th micro-step, params match the plain update
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6
+        ),
+        accum.g_params, plain.g_params,
+    )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6
+        ),
+        accum.d_params, plain.d_params,
+    )
