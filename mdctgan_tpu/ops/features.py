@@ -37,6 +37,12 @@ def _single_tpu() -> bool:
         return False
 
 
+def _tpu_mesh(mesh) -> bool:
+    return mesh is not None and all(
+        d.platform == "tpu" for d in mesh.devices.flat
+    )
+
+
 @dataclasses.dataclass(frozen=True)
 class SpectralConfig:
     """Static configuration of the waveform<->spectrogram transform.
@@ -106,14 +112,18 @@ def db_to_amplitude(x: Array, ref: float = 10.0, power: float = 0.5) -> Array:
 class SpectralTransform:
     """Bundles MDCT/IMDCT kernels + the normalization config.
 
-    ``use_fused``: route ``to_spectro`` through the fused Pallas
-    MDCT+arcsinh+affine kernel (ops/pallas_mdct.py) instead of the XLA
+    ``use_fused``: route ``to_spectro``/``to_audio`` through the fused Pallas
+    MDCT/IMDCT+normalize kernels (ops/pallas_mdct.py) instead of the XLA
     matmul + elementwise pipeline.  ``None`` (default) auto-enables it when
     (a) the config is fused-compatible (arcsinh + abs_norm, hop = win/2,
-    center), and (b) exactly one TPU device is attached — under a multi-device
-    GSPMD mesh an opaque pallas custom-call would force operand all-gathers,
-    so sharded runs keep the XLA path unless explicitly forced.
-    ``fused_interpret`` runs the kernel in the Pallas interpreter (CPU tests).
+    center), and (b) exactly one TPU device is attached OR a batch-sharded
+    ``mesh`` is provided.  Under a mesh the kernels are dispatched through
+    ``shard_map`` over the leading (batch-sharded) axis, so every DP shard
+    runs the Pallas kernel on its local batch — an opaque pallas custom-call
+    left to GSPMD would instead force operand all-gathers.  Batches not
+    divisible by the mesh size (ragged inference tails) fall back to the
+    unsharded call.  ``fused_interpret`` runs the kernels in the Pallas
+    interpreter (CPU tests).
     """
 
     def __init__(
@@ -122,6 +132,7 @@ class SpectralTransform:
         dtype=jnp.float32,
         use_fused: Optional[bool] = None,
         fused_interpret: bool = False,
+        mesh=None,
     ):
         self.cfg = cfg
         self.mdct = MDCT(
@@ -137,9 +148,10 @@ class SpectralTransform:
             dtype=dtype,
         )
         self.fused_interpret = fused_interpret
+        self.mesh = mesh
         compatible = self._fused_compatible(dtype)
         if use_fused is None:
-            use_fused = compatible and _single_tpu()
+            use_fused = compatible and (_single_tpu() or _tpu_mesh(mesh))
         elif use_fused and not compatible:
             raise ValueError(
                 "use_fused=True requires arcsinh_transform + abs_norm with "
@@ -162,6 +174,20 @@ class SpectralTransform:
             and cfg.src_range[1] > cfg.src_range[0]
             and cfg.norm_range[1] > cfg.norm_range[0]
         )
+
+    def _shard_mapped(self, fn, x: Array) -> Array:
+        """Run ``fn`` per-shard over the mesh's leading axis (DP batch);
+        plain call when unsharded or the batch doesn't divide evenly."""
+        if self.mesh is None or self.mesh.size == 1 or x.shape[0] % self.mesh.size:
+            return fn(x)
+        from jax.sharding import PartitionSpec as P
+
+        axis = self.mesh.axis_names[0]
+        # vma/rep checking doesn't see through pallas_call — disable.
+        return jax.shard_map(
+            fn, mesh=self.mesh, in_specs=(P(axis),), out_specs=P(axis),
+            check_vma=False,
+        )(x)
 
     def _fused_affine(self) -> Tuple[float, float]:
         """normalize() collapsed to one affine: out = asinh(g*x)/ln10 * scale
@@ -230,15 +256,18 @@ class SpectralTransform:
             from mdctgan_tpu.ops.pallas_mdct import mdct_spectro_fused
 
             scale, shift = self._fused_affine()
-            log_spectro = mdct_spectro_fused(
+            log_spectro = self._shard_mapped(
+                lambda a: mdct_spectro_fused(
+                    a,
+                    cfg.n_fft,
+                    cfg.hop_length,
+                    cfg.win_length,
+                    gain=cfg.arcsinh_gain,
+                    scale=scale,
+                    shift=shift,
+                    interpret=self.fused_interpret,
+                ),
                 audio,
-                cfg.n_fft,
-                cfg.hop_length,
-                cfg.win_length,
-                gain=cfg.arcsinh_gain,
-                scale=scale,
-                shift=shift,
-                interpret=self.fused_interpret,
             )[:, None]  # (B, 1, F, K) NCHW image
             # sign(x) == sign(asinh(g x) * scale) == sign(out - shift) since
             # scale > 0; exact at 0 (out == shift there).  pha is decorative
@@ -304,15 +333,18 @@ class SpectralTransform:
             lo, hi = cfg.src_range
             scale = (hi - lo) / (cfg.norm_range[1] - cfg.norm_range[0])
             shift = lo - cfg.norm_range[0] * scale
-            audio = imdct_audio_fused(
+            audio = self._shard_mapped(
+                lambda s: imdct_audio_fused(
+                    s,
+                    cfg.n_fft,
+                    cfg.hop_length,
+                    cfg.win_length,
+                    gain=cfg.arcsinh_gain,
+                    scale=scale,
+                    shift=shift,
+                    interpret=self.fused_interpret,
+                ),
                 log_spectro[:, 0],
-                cfg.n_fft,
-                cfg.hop_length,
-                cfg.win_length,
-                gain=cfg.arcsinh_gain,
-                scale=scale,
-                shift=shift,
-                interpret=self.fused_interpret,
             )
             if out_length is not None:
                 audio = audio[..., :out_length]

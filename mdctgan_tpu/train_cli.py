@@ -64,7 +64,6 @@ def main() -> None:
         opt.max_dataset_size = 10
 
     cfg = spectral_config_from_opt(opt)
-    transform = SpectralTransform(cfg, use_fused=use_fused_from_opt(opt))
     expr_dir = os.path.join(opt.checkpoints_dir, opt.name)
 
     # ------------------------------------------------------------------ data
@@ -95,6 +94,10 @@ def main() -> None:
         raise ValueError(
             f"batchSize {opt.batchSize} not divisible by {local_dev} local devices"
         )
+    # Fused Pallas transforms dispatch per-shard via shard_map over the mesh.
+    transform = SpectralTransform(
+        cfg, use_fused=use_fused_from_opt(opt), mesh=mesh
+    )
 
     # ----------------------------------------------------------------- model
     generator = build_generator(opt)

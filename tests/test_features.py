@@ -158,3 +158,29 @@ def test_fused_rejects_incompatible_config():
         SpectralTransform(
             SpectralConfig(arcsinh_transform=False), use_fused=True
         )
+
+
+def test_fused_shard_mapped_over_mesh(rng):
+    """Fused kernels dispatched per-shard via shard_map on a CPU mesh match
+    the unfused XLA path (and ragged batches fall back cleanly)."""
+    from mdctgan_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(4)
+    cfg = SpectralConfig()
+    ref = SpectralTransform(cfg, use_fused=False)
+    fused = SpectralTransform(cfg, use_fused=True, fused_interpret=True,
+                              mesh=mesh)
+    audio = jnp.asarray(0.1 * rng.standard_normal((8, 32512)), jnp.float32)
+    spec_ref, _, p_ref = ref.to_spectro(audio)
+    spec_f, _, p_f = jax.jit(lambda a: fused.to_spectro(a))(audio)
+    np.testing.assert_allclose(np.asarray(spec_f), np.asarray(spec_ref),
+                               atol=1e-4)
+    out_ref = ref.to_audio(spec_ref, p_ref, None, out_length=32512)
+    out_f = fused.to_audio(spec_f, p_f, None, out_length=32512)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_ref),
+                               atol=1e-4)
+    # ragged batch (3 % 4 != 0) falls back to the unsharded call
+    ragged = audio[:3]
+    s_r, _, _ = fused.to_spectro(ragged)
+    s_rr, _, _ = ref.to_spectro(ragged)
+    np.testing.assert_allclose(np.asarray(s_r), np.asarray(s_rr), atol=1e-4)

@@ -105,6 +105,30 @@ def test_train_step_multichip_mesh(rng):
     assert leaf.sharding.is_fully_replicated
 
 
+def test_train_step_multichip_mesh_fused_pallas(rng):
+    """The sharded step with the fused Pallas transforms dispatched via
+    shard_map (interpret mode on the CPU mesh) — metrics must match the
+    unfused step on the same batch."""
+    assert len(jax.devices()) >= 8
+    mesh = make_mesh(8)
+    tf_fused = SpectralTransform(TINY, use_fused=True, fused_interpret=True,
+                                 mesh=mesh)
+    tf_plain, gen, disc, state, step_plain = make_setup()
+    import optax as _optax
+    g_tx = _optax.adam(2e-4, b1=0.5)
+    d_tx = _optax.adam(2e-4, b1=0.5)
+    step_fused = build_train_step(gen, disc, tf_fused, g_tx, d_tx,
+                                  n_layers_d=2, num_d=2, donate=False)
+    state = replicate(state, mesh)
+    batch = shard_batch(make_batch(rng, b=8), mesh)
+    key = jax.random.PRNGKey(0)
+    _, m_plain = step_plain(state, batch, key)
+    _, m_fused = step_fused(state, batch, key)
+    for k in ("loss_G", "loss_D", "G_GAN_Feat"):
+        np.testing.assert_allclose(float(m_fused[k]), float(m_plain[k]),
+                                   rtol=1e-3, atol=1e-4)
+
+
 def test_feature_matching_learns_sr(rng):
     """On a fixed band-limited batch, 60 steps of the fused GAN step must pull
     the generator's features toward the HR targets (G_GAN_Feat trend down) —
