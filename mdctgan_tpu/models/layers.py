@@ -26,10 +26,10 @@ def instance_norm(x: Array, eps: float = 1e-5) -> Array:
     Statistics accumulate in float32 (matching torch AMP, which keeps norm
     math in fp32) but the activation KEEPS its compute dtype — under the bf16
     policy this halves the HBM traffic of the norm/relu/pad chain between
-    convs, which dominates the generator's runtime (the model is
-    bandwidth-bound, not MXU-bound).  On TPU this dispatches to the fused
-    single-pass Pallas kernel (ops/pallas_norm.py); elsewhere it runs the
-    identical XLA formula with centered two-pass variance."""
+    convs.  A fused single-pass Pallas kernel exists (ops/pallas_norm.py,
+    opt-in via MDCTGAN_PALLAS_NORM=1); a measured A/B on v5e showed XLA
+    already fuses these chains to the same speed, so the default is the XLA
+    formula with centered two-pass variance."""
     from mdctgan_tpu.ops.pallas_norm import instance_norm_fused
 
     return instance_norm_fused(x, relu=False)
@@ -173,6 +173,122 @@ class PolyphaseConv(nn.Module):
         )(x)
 
 
+def _upsample_phase_maps(k: int, p: int):
+    """Row/col tap-merge matrices for fusing nearest-2x upsample into a
+    k x k (pad p) conv.  For output phase ``di`` in {0,1}, dense tap ``u``
+    reads upsampled row 2i+di+u-p = source row i + (di+u-p)//2; taps
+    hitting the same source row merge.  Returns (smin, K, [M_0, M_1]) with
+    M_di of shape (k, K) mapping dense taps onto the K-tap fused kernel."""
+    import numpy as np
+
+    smin = min((di - p) // 2 for di in (0, 1))
+    smax = max((di + k - 1 - p) // 2 for di in (0, 1))
+    K = smax - smin + 1
+    maps = []
+    for di in (0, 1):
+        m = np.zeros((k, K), np.float32)
+        for u in range(k):
+            m[u, (di + u - p) // 2 - smin] = 1.0
+        maps.append(m)
+    return smin, K, maps
+
+
+class _UpsampledConvInner(nn.Module):
+    """Params identical to ``Conv``'s inner nn.Conv (kernel (k,k,I,O) HWIO +
+    bias) — computed as a polyphase conv on the pre-upsample resolution."""
+
+    features: int
+    kernel: int
+    padding: int
+    min_batch: int = 8
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        k, p, f = self.kernel, self.padding, self.features
+        assert k % 2 == 1, "odd kernels only (equal phase counts)"
+        in_c = x.shape[-1]
+        kernel = self.param("kernel", conv_init(), (k, k, in_c, f), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (f,), jnp.float32)
+        dtype = self.dtype or x.dtype
+        kern = kernel.astype(dtype)
+        x = x.astype(dtype)
+        if x.shape[0] < self.min_batch:
+            # Small batches are kernel-byte/formatting bound: the 4x-size
+            # phase bank + depth-to-space costs more than it saves (measured
+            # at batch 1 on v5e) — take the dense upsample+conv path.
+            xu = upsample_nearest_2x(x)
+            xu = jnp.pad(xu, ((0, 0), (p, p), (p, p), (0, 0)))
+            y = jax.lax.conv_general_dilated(
+                xu, kern, window_strides=(1, 1), padding="VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            return y + bias.astype(dtype)
+        smin, kk, maps = _upsample_phase_maps(k, p)
+
+        # Merge dense taps that hit the same source pixel.  The merge is a
+        # 0/1 bucketing, so build it with slice-adds (one fused elementwise
+        # pass) — an einsum against the 0/1 maps lowers to badly-shaped tiny
+        # dot_generals that dominate small-batch inference.
+        def merge(kr, di: int, axis: int):
+            buckets = [[] for _ in range(kk)]
+            for u in range(k):
+                buckets[(di + u - p) // 2 - smin].append(
+                    jax.lax.index_in_dim(kr, u, axis, keepdims=False)
+                )
+            zero = jnp.zeros_like(jax.lax.index_in_dim(kr, 0, axis, False))
+            cols = [sum(b[1:], b[0]) if b else zero for b in buckets]
+            return jnp.stack(cols, axis=axis)
+
+        # 4 phase kernels (K,K,I,O) -> one bank (K,K,I,4O), phase (di,dj)
+        # at channel block di*2+dj.
+        phases = [
+            merge(merge(kern, di, 0), dj, 1) for di in (0, 1) for dj in (0, 1)
+        ]
+        bank = jnp.stack(phases, axis=-2).reshape(kk, kk, in_c, 4 * f)
+        b, h, w, _ = x.shape
+        pt = -smin
+        n_h = h + p - (k - 1) // 2   # per-phase output rows
+        n_w = w + p - (k - 1) // 2
+        pb_h = n_h + (kk - 1 + smin) - h   # window end pad
+        pb_w = n_w + (kk - 1 + smin) - w
+        xp = jnp.pad(x, ((0, 0), (pt, pb_h), (pt, pb_w), (0, 0)))
+        y = jax.lax.conv_general_dilated(
+            xp, bank, window_strides=(1, 1), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        # depth-to-space: channel block (di, dj) is output pixel (2i+di, 2j+dj)
+        y = y.reshape(b, n_h, n_w, 2, 2, f)
+        y = jnp.transpose(y, (0, 1, 3, 2, 4, 5)).reshape(b, 2 * n_h, 2 * n_w, f)
+        return y + bias.astype(dtype)
+
+
+class UpsampledConv(nn.Module):
+    """nearest-2x upsample + k x k conv, fused by polyphase decomposition.
+
+    ``conv(upsample_nearest_2x(x))`` reads each source pixel k^2 times from a
+    4x-size HBM intermediate and runs the conv at the upsampled resolution.
+    Merging the dense taps that hit the same source pixel yields 4 phase
+    kernels applied to the ORIGINAL resolution: for the 5x5 conv this is 36%
+    fewer FLOPs (4 x 4x4 taps vs 25 on 4x area), the 2x-upsampled tensor is
+    never materialized, and the MXU sees 4x the output channels.  Same math
+    and the same parameter tree as ``Conv`` (checkpoint import unaffected).
+    """
+
+    features: int
+    kernel: int
+    padding: int
+    min_batch: int = 8
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        return _UpsampledConvInner(
+            self.features, self.kernel, self.padding, self.min_batch,
+            dtype=self.dtype, name="conv",
+        )(x)
+
+
 class ConvTransposed(nn.Module):
     """torch ConvTranspose2d(k=3, s=2, p=1, output_padding=1) equivalent:
     doubles H and W."""
@@ -244,7 +360,11 @@ class ConvResBlock(nn.Module):
 
 class InterpolateUpsample(nn.Module):
     """Nearest-2x upsample + conv pair with conv residual (networks.py:375-400).
-    conv1 is 5x5 pad 1 (shrinks by 2), conv2 is 3x3 pad 2 (grows by 2)."""
+    conv1 is 5x5 pad 1 (shrinks by 2), conv2 is 3x3 pad 2 (grows by 2).
+
+    The upsample is fused into conv1 and conv_res via ``UpsampledConv``
+    (polyphase decomposition): the 2x-upsampled tensor is never
+    materialized, identical math and parameters."""
 
     in_features: int
     out_features: int
@@ -252,8 +372,9 @@ class InterpolateUpsample(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        x = upsample_nearest_2x(x)
-        res = Conv(self.out_features, 3, 1, 1, dtype=self.dtype, name="conv_res")(x)
-        x = Conv(self.out_features, 5, 1, 1, dtype=self.dtype, name="conv1")(x)
+        res = UpsampledConv(self.out_features, 3, 1, dtype=self.dtype,
+                            name="conv_res")(x)
+        x = UpsampledConv(self.out_features, 5, 1, dtype=self.dtype,
+                          name="conv1")(x)
         x = Conv(self.out_features, 3, 1, 2, dtype=self.dtype, name="conv2")(x)
         return x + res

@@ -243,3 +243,74 @@ def test_polyphase_conv_multifeature(rng):
         np.asarray(poly.apply(params, x)), np.asarray(dense.apply(params, x)),
         atol=1e-5,
     )
+
+
+# --------------------------------------------------------------------------
+# UpsampledConv: nearest-2x upsample fused into the conv by polyphase
+# --------------------------------------------------------------------------
+
+def _dense_upsample_conv(x, params, k, p):
+    import jax.numpy as jnp
+    from mdctgan_tpu.models.layers import upsample_nearest_2x
+
+    xu = upsample_nearest_2x(jnp.asarray(x))
+    kern = jnp.asarray(params["params"]["conv"]["kernel"])
+    bias = jnp.asarray(params["params"]["conv"]["bias"])
+    xp = jnp.pad(xu, ((0, 0), (p, p), (p, p), (0, 0)))
+    import jax
+    y = jax.lax.conv_general_dilated(
+        xp, kern, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+    return y + bias
+
+
+@pytest.mark.parametrize("k,p", [(5, 1), (3, 1), (3, 2), (7, 3)])
+def test_upsampled_conv_matches_dense(rng, k, p):
+    import jax
+    import jax.numpy as jnp
+    from mdctgan_tpu.models.layers import UpsampledConv
+
+    for h, w in ((6, 9), (8, 8)):
+        x = jnp.asarray(rng.standard_normal((2, h, w, 3)), jnp.float32)
+        mod = UpsampledConv(4, k, p, min_batch=1)
+        params = mod.init(jax.random.PRNGKey(0), x)
+        got = np.asarray(mod.apply(params, x))
+        ref = np.asarray(_dense_upsample_conv(x, params, k, p))
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_upsampled_conv_grads_match_dense(rng):
+    import jax
+    import jax.numpy as jnp
+    from mdctgan_tpu.models.layers import UpsampledConv
+
+    x = jnp.asarray(rng.standard_normal((1, 6, 7, 3)), jnp.float32)
+    mod = UpsampledConv(4, 5, 1, min_batch=1)
+    params = mod.init(jax.random.PRNGKey(0), x)
+
+    g1 = jax.grad(lambda p: jnp.sum(jnp.sin(mod.apply(p, x))))(params)
+    g2 = jax.grad(lambda p: jnp.sum(jnp.sin(_dense_upsample_conv(x, p, 5, 1))))(
+        params
+    )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-5
+        ),
+        g1, g2,
+    )
+
+
+def test_upsampled_conv_small_batch_dense_path(rng):
+    import jax
+    import jax.numpy as jnp
+    from mdctgan_tpu.models.layers import UpsampledConv
+
+    x = jnp.asarray(rng.standard_normal((1, 6, 7, 3)), jnp.float32)
+    poly = UpsampledConv(4, 5, 1, min_batch=1)
+    dense = UpsampledConv(4, 5, 1, min_batch=8)  # batch 1 -> dense path
+    params = poly.init(jax.random.PRNGKey(0), x)
+    np.testing.assert_allclose(
+        np.asarray(dense.apply(params, x)), np.asarray(poly.apply(params, x)),
+        atol=1e-5,
+    )
