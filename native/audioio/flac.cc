@@ -306,6 +306,14 @@ bool DecodeMono(const uint8_t* data, size_t size, Info* info,
       1.0f / static_cast<float>(1ull << (info->bits_per_sample - 1));
   std::vector<std::vector<int64_t>> ch;
   out->clear();
+  // Allocation guards against corrupt/malicious input: a frame with a
+  // CONSTANT subframe amplifies ~10 input bytes into up to 65536 samples,
+  // and STREAMINFO's total-samples field is 36 bits wide.
+  const uint64_t kMaxReserve = 1ull << 28;  // 1 GiB of float32
+  const uint64_t limit = info->num_frames
+                             ? info->num_frames + 65536
+                             : static_cast<uint64_t>(size) * 64 + (1u << 20);
+  if (limit > kMaxReserve) return false;
   if (info->num_frames) out->reserve(info->num_frames);
 
   while (!br.AtEnd()) {
@@ -395,6 +403,7 @@ bool DecodeMono(const uint8_t* data, size_t size, Info* info,
 
     for (uint32_t i = 0; i < block_size; ++i)
       out->push_back(static_cast<float>(ch[0][i]) * scale);
+    if (out->size() > limit) return false;
   }
   if (info->num_frames && out->size() > info->num_frames)
     out->resize(info->num_frames);

@@ -120,3 +120,43 @@ def test_compress_audio_tool(tmp_path, rng):
     ref, _ = native.read(os.path.join(str(tmp_path), "a.wav"))
     assert sr == 16000
     np.testing.assert_array_equal(np.asarray(data), np.asarray(ref))
+
+
+def test_decoder_rejects_malformed_inputs_without_crashing(tmp_path, rng):
+    """Fuzz the native decode path: truncated/corrupt FLAC and WAV bytes and
+    pure garbage must fail cleanly (exception or python fallback), never
+    crash the process."""
+    # a valid flac to mutate
+    good = os.path.join(str(tmp_path), "good.flac")
+    write_flac(good, _pcm(rng, 5000), 48000)
+    base = open(good, "rb").read()
+
+    cases = []
+    for i in range(20):  # random truncations
+        cases.append(base[: int(rng.integers(4, len(base)))])
+    for i in range(20):  # random byte corruption (keep magic)
+        b = bytearray(base)
+        for _ in range(8):
+            b[int(rng.integers(4, len(b)))] = int(rng.integers(0, 256))
+        cases.append(bytes(b))
+    for i in range(10):  # garbage with flac/wav magic
+        cases.append(b"fLaC" + rng.bytes(int(rng.integers(0, 200))))
+        cases.append(b"RIFF" + rng.bytes(int(rng.integers(0, 200))))
+    for i in range(5):  # pure garbage
+        cases.append(rng.bytes(int(rng.integers(0, 100))))
+
+    path = os.path.join(str(tmp_path), "fuzz.bin")
+    survived = 0
+    for payload in cases:
+        with open(path, "wb") as f:
+            f.write(payload)
+        try:
+            native.info(path)
+        except Exception:
+            pass
+        try:
+            native.read(path, 0, 1000)
+        except Exception:
+            pass
+        survived += 1
+    assert survived == len(cases)
