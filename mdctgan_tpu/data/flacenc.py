@@ -99,7 +99,8 @@ def _coded_number(bw: BitWriter, n: int) -> None:
 
 
 def _zigzag(v: np.ndarray) -> np.ndarray:
-    return np.where(v >= 0, v.astype(object) * 2, -v.astype(object) * 2 - 1)
+    # int64 is ample: residuals of 17-bit side channels stay far below 2^62
+    return np.where(v >= 0, v * 2, -v * 2 - 1).astype(np.int64)
 
 
 def _write_residual(bw: BitWriter, res: np.ndarray) -> None:
@@ -107,7 +108,7 @@ def _write_residual(bw: BitWriter, res: np.ndarray) -> None:
     u = _zigzag(res.astype(np.int64))
     best_p, best_cost = 0, None
     for p in range(15):
-        cost = sum(int(x) >> p for x in u) + len(u) * (p + 1)
+        cost = int((u >> p).sum()) + len(u) * (p + 1)
         if best_cost is None or cost < best_cost:
             best_p, best_cost = p, cost
     bw.write(0, 2)       # residual method 0

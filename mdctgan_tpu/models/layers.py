@@ -173,24 +173,15 @@ class PolyphaseConv(nn.Module):
         )(x)
 
 
-def _upsample_phase_maps(k: int, p: int):
-    """Row/col tap-merge matrices for fusing nearest-2x upsample into a
-    k x k (pad p) conv.  For output phase ``di`` in {0,1}, dense tap ``u``
-    reads upsampled row 2i+di+u-p = source row i + (di+u-p)//2; taps
-    hitting the same source row merge.  Returns (smin, K, [M_0, M_1]) with
-    M_di of shape (k, K) mapping dense taps onto the K-tap fused kernel."""
-    import numpy as np
-
+def _upsample_phase_geometry(k: int, p: int):
+    """Fused-kernel geometry for folding a nearest-2x upsample into a k x k
+    (pad p) conv: output phase ``di`` in {0,1}, dense tap ``u`` reads
+    upsampled row 2i+di+u-p = source row i + (di+u-p)//2, so taps hitting
+    the same source row merge.  Returns (smin, K): the smallest source-row
+    offset and the merged kernel extent."""
     smin = min((di - p) // 2 for di in (0, 1))
     smax = max((di + k - 1 - p) // 2 for di in (0, 1))
-    K = smax - smin + 1
-    maps = []
-    for di in (0, 1):
-        m = np.zeros((k, K), np.float32)
-        for u in range(k):
-            m[u, (di + u - p) // 2 - smin] = 1.0
-        maps.append(m)
-    return smin, K, maps
+    return smin, smax - smin + 1
 
 
 class _UpsampledConvInner(nn.Module):
@@ -224,12 +215,12 @@ class _UpsampledConvInner(nn.Module):
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
             )
             return y + bias.astype(dtype)
-        smin, kk, maps = _upsample_phase_maps(k, p)
+        smin, kk = _upsample_phase_geometry(k, p)
 
         # Merge dense taps that hit the same source pixel.  The merge is a
         # 0/1 bucketing, so build it with slice-adds (one fused elementwise
-        # pass) — an einsum against the 0/1 maps lowers to badly-shaped tiny
-        # dot_generals that dominate small-batch inference.
+        # pass) — an einsum against 0/1 bucket matrices lowers to badly-
+        # shaped tiny dot_generals that dominate small-batch inference.
         def merge(kr, di: int, axis: int):
             buckets = [[] for _ in range(kk)]
             for u in range(k):
