@@ -26,8 +26,7 @@ from mdctgan_tpu.ops.features import SpectralTransform
 from mdctgan_tpu.ops.metrics import compute_metrics
 from mdctgan_tpu.ops.resample import add_noise_snr, degrade_lr, resample
 from mdctgan_tpu.options import TrainOptions, spectral_config_from_opt, use_fused_from_opt
-from mdctgan_tpu.train import checkpoint as ckpt_mod
-from mdctgan_tpu.train import import_torch
+from mdctgan_tpu.train.restore import load_generator_vars
 from mdctgan_tpu.train.step import build_inference_fn
 
 
@@ -69,39 +68,7 @@ def main() -> None:
 
     # ------------------------------------------------------------- model
     generator = build_generator(opt)
-    g_vars = None
-    if opt.load_pretrain:
-        g_path = os.path.join(opt.load_pretrain, f"{opt.which_epoch}_net_G.pth")
-        if os.path.exists(g_path):
-            sd = import_torch.load_pth(g_path)
-            params, stats = import_torch.import_generator(sd, generator)
-            g_vars = {"params": params, "batch_stats": stats}
-            print(f"imported pretrained G from {g_path}")
-        else:
-            # orbax checkpoint directory produced by our train.py; the
-            # template must match the saved opt-state STRUCTURE, so build the
-            # optimizers the same way train.py does (steps_per_epoch only
-            # affects schedule values, not structure)
-            from mdctgan_tpu.models.discriminator import build_discriminator
-            from mdctgan_tpu.train.schedule import make_optimizers
-            from mdctgan_tpu.train.state import create_train_state
-
-            g_tx, d_tx = make_optimizers(
-                opt.lr, opt.beta1, opt.niter, opt.niter_decay, 1
-            )
-            tmpl = create_train_state(
-                jax.random.PRNGKey(0), generator, build_discriminator(opt),
-                g_tx, d_tx,
-                spectro_shape=(cfg.n_bins, cfg.n_fft // 2),
-                g_in_channels=opt.input_nc,
-                d_in_channels=opt.input_nc + opt.output_nc,
-            )
-            mgr = ckpt_mod.CheckpointManager(os.path.join(opt.load_pretrain, "ckpt"))
-            state, _, _ = mgr.restore(tmpl)
-            g_vars = {"params": state.g_params, "batch_stats": state.batch_stats}
-            print(f"restored orbax checkpoint from {opt.load_pretrain}")
-    if g_vars is None:
-        raise SystemExit("--load_pretrain is required (no weights to run)")
+    g_vars = load_generator_vars(opt, generator, cfg)
 
     infer = build_inference_fn(generator, transform, out_length=cfg.segment_length)
 

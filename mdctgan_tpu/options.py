@@ -203,6 +203,12 @@ class TrainOptions(BaseOptions):
         p.add_argument("--accum_steps", type=int, default=1,
                        help="gradient accumulation: average grads over k "
                             "micro-batches, apply Adam every k-th step")
+        p.add_argument("--export_path", type=str, default="",
+                       help="export_cli: output StableHLO artifact path")
+        p.add_argument("--export_batch", type=int, default=8,
+                       help="export_cli: baked segment-batch size")
+        p.add_argument("--export_platforms", type=str, default="tpu",
+                       help="export_cli: comma-separated lowering platforms")
         p.add_argument("--jax_cache_dir", type=str,
                        default=os.path.expanduser("~/.cache/mdctgan_tpu_xla"),
                        help="persistent XLA compilation cache ('' disables)")

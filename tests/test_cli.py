@@ -300,3 +300,66 @@ def test_api_create_model_and_upsample(tmp_path):
     out = upsample(wave, 48000, model.g_vars(), model, batch_size=2)
     assert out.ndim == 1 and len(out) >= 20000
     assert np.isfinite(out).all()
+
+
+def test_export_stablehlo_roundtrip(tmp_path):
+    """export_cli: serialize the inference graph (weights baked in) to
+    StableHLO, deserialize WITHOUT model code, and match direct inference."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mdctgan_tpu.export_cli import export_inference
+    from mdctgan_tpu.models.discriminator import build_discriminator
+    from mdctgan_tpu.models.generator import build_generator
+    from mdctgan_tpu.ops.features import SpectralTransform
+    from mdctgan_tpu.options import TrainOptions, spectral_config_from_opt
+    from mdctgan_tpu.train.checkpoint import CheckpointManager
+    from mdctgan_tpu.train.restore import load_generator_vars
+    from mdctgan_tpu.train.schedule import make_optimizers
+    from mdctgan_tpu.train.state import create_train_state
+    from mdctgan_tpu.train.step import build_inference_fn
+
+    flags = [
+        "--name", "exp", "--checkpoints_dir", str(tmp_path / "out"),
+        "--lr_sampling_rate", "16000", "--center", "--arcsinh_transform",
+        "--abs_spectro", "--abs_norm", "--norm_range", "-1", "1",
+        "--fit_residual", "--netG", "global", "--ngf", "4",
+        "--n_downsample_global", "2", "--n_blocks_global", "1",
+        "--n_blocks_attn_g", "1", "--heads_g", "2", "--dim_head_g", "4",
+        "--num_D", "2", "--n_layers_D", "2", "--ndf", "4",
+        "--segment_length", "8128", "--n_fft", "128", "--hop_length", "64",
+        "--win_length", "128", "--bins", "128",
+        "--export_batch", "2", "--export_platforms", "cpu",
+    ]
+    pretrain_dir = tmp_path / "pretrained"
+    opt = TrainOptions().parse(flags + ["--load_pretrain", str(pretrain_dir)],
+                               save=False)
+    cfg = spectral_config_from_opt(opt)
+    generator = build_generator(opt)
+    g_tx, d_tx = make_optimizers(opt.lr, opt.beta1, opt.niter, opt.niter_decay, 1)
+    state = create_train_state(
+        jax.random.PRNGKey(0), generator, build_discriminator(opt),
+        g_tx, d_tx,
+        spectro_shape=(cfg.n_bins, cfg.n_fft // 2),
+        g_in_channels=opt.input_nc,
+        d_in_channels=opt.input_nc + opt.output_nc,
+    )
+    mgr = CheckpointManager(str(pretrain_dir / "ckpt"))
+    mgr.save(state, epoch=1)
+    mgr.wait()
+    mgr.close()
+
+    blob = export_inference(opt)
+    assert len(blob) > 1000
+
+    rng = np.random.default_rng(0)
+    lr = jnp.asarray(0.05 * rng.standard_normal((2, 8128)), jnp.float32)
+    restored = jax.export.deserialize(blob)
+    got = np.asarray(restored.call(lr))
+
+    g_vars = load_generator_vars(opt, generator, cfg)
+    infer = build_inference_fn(generator, SpectralTransform(cfg),
+                               out_length=cfg.segment_length)
+    _, ref = infer(g_vars, lr)
+    np.testing.assert_allclose(got, np.asarray(ref[..., :8128]), atol=1e-5)
