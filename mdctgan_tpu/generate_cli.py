@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 """Inference / evaluation driver — rebuild of the reference ``generate_audio.py``.
 
-Loads one audio file, degrades it to LR on-device (down-up resample unless
+Loads audio, degrades it to LR on-device (down-up resample unless
 --is_lr_input, audio_dataset.py:169-177), unfolds into overlapping segments,
 runs the jitted inference stack (MDCT -> G -> IMDCT) in batches, stitches via
 edge-halving overlap-add (generate_audio.py:40-51), then writes
@@ -9,10 +9,18 @@ MSE/SNR/LSD + sr/lr/hr WAVs to checkpoints/<name>/.
 
 Uses TrainOptions like the reference (generate_audio.py:13 — it needs the STFT
 flags that only TrainOptions defines).
+
+Beyond the reference (which processes exactly ONE file per run): when
+--dataroot is a directory or a .csv/.txt file list, every file is processed
+with a single model load and ONE compiled program (all files share the padded
+segment-batch shape), writing per-file ``<stem>_sr.wav`` outputs and a
+``metrics.csv`` summary — the TPU-friendly batch-serving mode (compiles are
+minutes through a remote tunnel; amortize them).
 """
 
 from __future__ import annotations
 
+import csv
 import os
 
 import jax
@@ -29,24 +37,34 @@ from mdctgan_tpu.options import TrainOptions, spectral_config_from_opt, use_fuse
 from mdctgan_tpu.train.restore import load_generator_vars
 from mdctgan_tpu.train.step import build_inference_fn
 
+AUDIO_EXTS = (".wav", ".flac")
 
-def main() -> None:
-    from mdctgan_tpu.parallel.mesh import honor_jax_platforms_env
 
-    honor_jax_platforms_env()
-    opt = TrainOptions().parse(save=False)
-    if getattr(opt, "jax_cache_dir", ""):
-        from mdctgan_tpu.parallel.mesh import enable_compilation_cache
+def _expand_dataroot(dataroot: str) -> list:
+    """One path (reference behavior), or a directory / .csv / .txt list."""
+    if os.path.isdir(dataroot):
+        paths = [
+            os.path.join(root, f)
+            for root, _, files in os.walk(dataroot)
+            for f in sorted(files)
+            if f.lower().endswith(AUDIO_EXTS)
+        ]
+        if not paths:
+            raise SystemExit(f"no audio files under {dataroot}")
+        return paths
+    if dataroot.lower().endswith((".csv", ".txt")):
+        base = os.path.dirname(dataroot)
+        with open(dataroot) as f:
+            rows = [line.strip().split(",")[0] for line in f if line.strip()]
+        return [r if os.path.isabs(r) else os.path.join(base, r) for r in rows]
+    return [dataroot]
 
-        enable_compilation_cache(opt.jax_cache_dir)
-    cfg = spectral_config_from_opt(opt)
-    transform = SpectralTransform(cfg, use_fused=use_fused_from_opt(opt))
-    expr_dir = os.path.join(opt.checkpoints_dir, opt.name)
-    os.makedirs(expr_dir, exist_ok=True)
 
-    # ------------------------------------------------------------- input
+def _process_file(path, opt, cfg, transform, infer, g_vars):
+    """One file through degrade -> segment -> G -> overlap-add -> metrics.
+    Returns (sr, lr, hr, metrics dict)."""
     try:
-        ds = AudioTestDataset(opt.dataroot, cfg.segment_length, overlap=opt.gen_overlap)
+        ds = AudioTestDataset(path, cfg.segment_length, overlap=opt.gen_overlap)
     except Exception:
         # reference behavior: print and exit (audio_dataset.py:149-151)
         raise SystemExit("load audio failed")
@@ -66,13 +84,6 @@ def main() -> None:
     segments = ds.segments_of(lr_np)  # (N, segment_length)
     print(f"#audio segments = {len(segments)}")
 
-    # ------------------------------------------------------------- model
-    generator = build_generator(opt)
-    g_vars = load_generator_vars(opt, generator, cfg)
-
-    infer = build_inference_fn(generator, transform, out_length=cfg.segment_length)
-
-    # ------------------------------------------------------------ forward
     outs = []
     bs = opt.batchSize
     n = len(segments)
@@ -85,7 +96,6 @@ def main() -> None:
         outs.append(np.asarray(sr_audio[..., : cfg.segment_length]))
     sr_segments = np.concatenate(outs)[:n]
 
-    # --------------------------------------------------- stitch + metrics
     if opt.gen_overlap > 0:
         sr = overlap_add_segments(sr_segments, cfg.segment_length, opt.gen_overlap)
     else:
@@ -101,20 +111,71 @@ def main() -> None:
         jnp.asarray(sr[:audio_len])[None],
         cfg.n_fft, cfg.hop_length, cfg.win_length, cfg.center,
     )
-    print(f"MSE: {float(m['mse']):.4f}")
-    print(f"SNR_SR: {float(m['snr_sr']):.4f}")
-    print(f"SNR_LR: {float(m['snr_lr']):.4f}")
-    print(f"LSD: {float(m['lsd']):.4f}")
+    metrics = {k: float(v) for k, v in m.items()}
+    print(f"MSE: {metrics['mse']:.4f}")
+    print(f"SNR_SR: {metrics['snr_sr']:.4f}")
+    print(f"SNR_LR: {metrics['snr_lr']:.4f}")
+    print(f"LSD: {metrics['lsd']:.4f}")
+    return sr[:audio_len], lr_np[:audio_len], hr, ds.in_sampling_rate, metrics
 
-    with open(os.path.join(expr_dir, "metric.txt"), "w") as f:
-        f.write("MSE,SNR_SR,LSD\n")
-        f.write(f"{float(m['mse']):f},{float(m['snr_sr']):f},{float(m['lsd']):f}")
-    native.write_wav16(os.path.join(expr_dir, "sr_audio.wav"),
-                       sr[:audio_len], cfg.hr_sampling_rate)
-    native.write_wav16(os.path.join(expr_dir, "lr_audio.wav"),
-                       lr_np[:audio_len], cfg.hr_sampling_rate)
-    native.write_wav16(os.path.join(expr_dir, "hr_audio.wav"),
-                       hr, ds.in_sampling_rate)
+
+def main() -> None:
+    from mdctgan_tpu.parallel.mesh import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
+    opt = TrainOptions().parse(save=False)
+    if getattr(opt, "jax_cache_dir", ""):
+        from mdctgan_tpu.parallel.mesh import enable_compilation_cache
+
+        enable_compilation_cache(opt.jax_cache_dir)
+    cfg = spectral_config_from_opt(opt)
+    transform = SpectralTransform(cfg, use_fused=use_fused_from_opt(opt))
+    expr_dir = os.path.join(opt.checkpoints_dir, opt.name)
+    os.makedirs(expr_dir, exist_ok=True)
+
+    paths = _expand_dataroot(opt.dataroot)
+
+    generator = build_generator(opt)
+    g_vars = load_generator_vars(opt, generator, cfg)
+    infer = build_inference_fn(generator, transform, out_length=cfg.segment_length)
+
+    if len(paths) == 1:
+        # reference-parity single-file mode: fixed output names + metric.txt
+        sr, lr, hr, in_sr, m = _process_file(
+            paths[0], opt, cfg, transform, infer, g_vars
+        )
+        with open(os.path.join(expr_dir, "metric.txt"), "w") as f:
+            f.write("MSE,SNR_SR,LSD\n")
+            f.write(f"{m['mse']:f},{m['snr_sr']:f},{m['lsd']:f}")
+        native.write_wav16(os.path.join(expr_dir, "sr_audio.wav"),
+                           sr, cfg.hr_sampling_rate)
+        native.write_wav16(os.path.join(expr_dir, "lr_audio.wav"),
+                           lr, cfg.hr_sampling_rate)
+        native.write_wav16(os.path.join(expr_dir, "hr_audio.wav"),
+                           hr, in_sr)
+        return
+
+    # batch mode: one model load / one compiled program over the corpus
+    rows = []
+    for path in paths:
+        print(f"=== {path}")
+        stem = os.path.splitext(os.path.basename(path))[0]
+        sr, _, _, _, m = _process_file(path, opt, cfg, transform, infer, g_vars)
+        native.write_wav16(os.path.join(expr_dir, f"{stem}_sr.wav"),
+                           sr, cfg.hr_sampling_rate)
+        rows.append({"file": path, **m})
+    with open(os.path.join(expr_dir, "metrics.csv"), "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+        w.writeheader()
+        w.writerows(rows)
+        mean = {
+            k: sum(r[k] for r in rows) / len(rows)
+            for k in rows[0]
+            if k != "file"
+        }
+        w.writerow({"file": "MEAN", **mean})
+    print(f"[batch] {len(rows)} files -> {expr_dir}/metrics.csv "
+          f"(mean LSD {mean['lsd']:.4f}, mean SNR_SR {mean['snr_sr']:.4f})")
 
 
 if __name__ == "__main__":

@@ -14,7 +14,13 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from mdctgan_tpu.models.layers import Conv, avg_pool_3x3_s2, instance_norm, leaky_relu
+from mdctgan_tpu.models.layers import (
+    Conv,
+    auto_phases,
+    avg_pool_3x3_s2,
+    instance_norm,
+    leaky_relu,
+)
 
 Array = jax.Array
 
@@ -31,8 +37,14 @@ class NLayerDiscriminator(nn.Module):
     @nn.compact
     def __call__(self, x: Array) -> List[Array]:
         feats = []
-        # padw = ceil((4-1)/2) = 2
-        h = Conv(self.ndf, 4, 2, 2, dtype=self.dtype, name="layer0")(x)
+        # padw = ceil((4-1)/2) = 2.  layer0 is the one D conv whose channel
+        # count underfills the MXU's output lanes; 2-column phasing measured
+        # 1.65x fwd / 1.47x bwd ISOLATED on v5e but regressed in-graph, so
+        # auto_phases ships disabled (see its docstring).  Deeper layers
+        # (>= 128 ch) measured slower phased even isolated — always dense.
+        h = Conv(self.ndf, 4, 2, 2,
+                 phases=min(auto_phases(self.ndf), 2),
+                 dtype=self.dtype, name="layer0")(x)
         h = leaky_relu(h)
         feats.append(h)
         nf = self.ndf

@@ -189,6 +189,9 @@ class LocalEnhancer(nn.Module):
 
         # --- local enhancer downsample stem (networks.py:207-211) ---------
         ngf_l = self.ngf * (2 ** (self.n_local_enhancers - 1))
+        # stem is NOT phased: a step trace showed the reflect-padded stem's
+        # phased form pays more in un-interleave + bias-grad formatting than
+        # the conv saves (docs/PERFORMANCE.md).
         h = reflect_pad(x, 3)
         h = Conv(ngf_l, 7, dtype=self.dtype, name="local_stem")(h)
         h = instance_norm_relu(h)

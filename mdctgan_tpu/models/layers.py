@@ -75,22 +75,58 @@ def conv_init() -> Callable:
     return nn.initializers.normal(stddev=0.02)
 
 
+def auto_phases(out_features: int) -> int:
+    """Column-phase count for a stride-1 conv with ``out_features`` output
+    channels, chosen so phases x features stays within the MXU's 128 output
+    lanes (isolated v5e A/B: p4 wins at 28 channels, p2 at 56/64, dense at
+    >= 112 — tools/ab_phased_conv.py).
+
+    DISABLED by default (returns 1): full train-step traces on v5e measured
+    the isolated 1.2-1.7x per-conv wins being erased by the un-interleave
+    data-formatting passes XLA must insert at the fusion boundaries — net
+    +2 ms on an 82 ms step whichever site subset was enabled (see
+    docs/PERFORMANCE.md "negative results").  Set ``MDCTGAN_PHASED_CONV=1``
+    to re-enable for experimentation on other TPU generations."""
+    import os
+
+    if os.environ.get("MDCTGAN_PHASED_CONV", "0") != "1":
+        return 1
+    if out_features <= 32:
+        return 4
+    return 2 if out_features <= 64 else 1
+
+
 class Conv(nn.Module):
     """Plain conv2d with explicit symmetric zero padding (torch-style).
 
     ``dtype`` is the COMPUTE dtype (params stay float32): bf16 here is the
     TPU equivalent of the reference's AMP autocast (train.py:65-70) — MXU
-    runs at 2x bf16 throughput and needs no GradScaler."""
+    runs at 2x bf16 throughput and needs no GradScaler.
+
+    ``phases > 1`` computes the SAME conv (identical parameter tree and
+    math) column-phased: ``phases`` adjacent output columns fold into output
+    channels via a shifted kernel bank, raising MXU output-lane occupancy
+    for the low-channel-count layers (28/56 of 128 lanes in the flagship).
+    Applied only at sites where an A/B on v5e measured a win
+    (tools/ab_phased_conv.py; docs/PERFORMANCE.md) and only for batches
+    >= 8 (dense below — bank formatting dominates tiny batches)."""
 
     features: int
     kernel: int
     stride: int = 1
     padding: int = 0
     use_bias: bool = True
+    phases: int = 1
     dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
+        if self.phases > 1 and self.use_bias:
+            return _PolyphaseConvInner(
+                self.features, self.kernel, self.phases, self.stride,
+                padding=self.padding, min_batch=8, dtype=self.dtype,
+                name="conv",
+            )(x)
         return nn.Conv(
             self.features,
             (self.kernel, self.kernel),
@@ -105,42 +141,64 @@ class Conv(nn.Module):
 
 class _PolyphaseConvInner(nn.Module):
     """Conv kernel params identical to flax ``nn.Conv`` (so this child scope
-    is checkpoint-compatible with a plain Conv), computed polyphase."""
+    is checkpoint-compatible with a plain Conv), computed polyphase.
+
+    Input must already be padded (convolution is VALID).  ``min_batch``
+    gates the restructuring: below it the dense conv runs (kernel-bank
+    formatting costs dominate tiny batches — same convention as
+    ``UpsampledConv``)."""
 
     features: int
     kernel: int
     phases: int
+    stride: int = 1
+    padding: int = 0
+    min_batch: int = 0
     dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        k, p, f = self.kernel, self.phases, self.features
+        k, p, f, s = self.kernel, self.phases, self.features, self.stride
+        pad = self.padding
         in_c = x.shape[-1]
         kernel = self.param("kernel", conv_init(), (k, k, in_c, f), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (f,), jnp.float32)
         dtype = self.dtype or x.dtype
         x = x.astype(dtype)
         kern = kernel.astype(dtype)
-        w_out = x.shape[2] - (k - 1)
-        if p > 1 and w_out % p == 0:
-            # Shifted kernel bank: output phase j reads taps [j, j+k) of a
-            # (k, k+p-1)-wide kernel; stride p then computes p adjacent
-            # output columns as p*f MXU output lanes in one pass.
+        w_out = (x.shape[2] + 2 * pad - k) // s + 1
+        if p > 1 and w_out >= p and x.shape[0] >= self.min_batch:
+            # Shifted kernel bank: output phase j reads taps starting at
+            # column j*s of a (k, k+(p-1)*s)-wide kernel; stride p*s then
+            # computes p adjacent output columns as p*f MXU output lanes in
+            # one pass.  Non-multiple-of-p widths round up with extra zero
+            # padding; the surplus columns (whose windows read only that
+            # padding) are cropped after — the kept columns' windows stay
+            # within the original extent, so their math is untouched.  All
+            # zero padding rides the conv op's padding attribute (an
+            # explicit jnp.pad materializes a copy and breaks fusion, which
+            # a trace showed eating the phasing win).
+            w_keep, rem = w_out, w_out % p
+            extra = (p - rem) * s if rem else 0
             taps = [
-                jnp.pad(kern, ((0, 0), (j, p - 1 - j), (0, 0), (0, 0)))
+                jnp.pad(kern, ((0, 0), (j * s, (p - 1 - j) * s), (0, 0), (0, 0)))
                 for j in range(p)
             ]
-            bank = jnp.stack(taps, axis=-2)  # (k, k+p-1, C, p, f)
-            bank = bank.reshape(k, k + p - 1, in_c, p * f)
+            bank = jnp.stack(taps, axis=-2)  # (k, k+(p-1)s, C, p, f)
+            bank = bank.reshape(k, k + (p - 1) * s, in_c, p * f)
             y = jax.lax.conv_general_dilated(
-                x, bank, window_strides=(1, p), padding="VALID",
+                x, bank, window_strides=(s, p * s),
+                padding=((pad, pad), (pad, pad + extra)),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
             )
             b, h, wp, _ = y.shape
             y = y.reshape(b, h, wp * p, f)  # phase j is column w'*p + j
+            if rem:
+                y = y[:, :, :w_keep, :]
         else:
             y = jax.lax.conv_general_dilated(
-                x, kern, window_strides=(1, 1), padding="VALID",
+                x, kern, window_strides=(s, s),
+                padding=((pad, pad), (pad, pad)),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
             )
         return y + bias.astype(dtype)
@@ -320,6 +378,8 @@ class ResnetBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
+        # NOT phased: measured in-graph neutral (the isolated 1.7x conv win
+        # is offset by the un-interleave pass; see docs/PERFORMANCE.md).
         h = reflect_pad(x, 1)
         h = Conv(self.dim, 3, dtype=self.dtype, name="conv1")(h)
         h = instance_norm_relu(h)
@@ -342,10 +402,15 @@ class ConvResBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
+        # conv1 is strided — phasing measured neutral there; the stride-1
+        # follow-ups benefit when their channel count underfills the MXU.
+        p = auto_phases(self.out_features)
         x = Conv(self.in_features, self.kernel, self.stride, self.padding,
                  dtype=self.dtype, name="conv1")(x)
-        res = Conv(self.out_features, 3, 1, 1, dtype=self.dtype, name="conv_res")(x)
-        x = Conv(self.out_features, 5, 1, 2, dtype=self.dtype, name="conv2")(x)
+        res = Conv(self.out_features, 3, 1, 1, phases=p, dtype=self.dtype,
+                   name="conv_res")(x)
+        x = Conv(self.out_features, 5, 1, 2, phases=p, dtype=self.dtype,
+                 name="conv2")(x)
         return x + res
 
 
@@ -367,5 +432,7 @@ class InterpolateUpsample(nn.Module):
                             name="conv_res")(x)
         x = UpsampledConv(self.out_features, 5, 1, dtype=self.dtype,
                           name="conv1")(x)
-        x = Conv(self.out_features, 3, 1, 2, dtype=self.dtype, name="conv2")(x)
+        x = Conv(self.out_features, 3, 1, 2,
+                 phases=auto_phases(self.out_features), dtype=self.dtype,
+                 name="conv2")(x)
         return x + res

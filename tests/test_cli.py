@@ -271,6 +271,22 @@ def test_generate_audio_smoke(tmp_path, wav_csv):
     for f in ("sr_audio.wav", "lr_audio.wav", "hr_audio.wav"):
         assert (out / f).exists()
 
+    # ---- batch mode (beyond reference): CSV file list, one model load,
+    # per-file SR wavs + metrics.csv with a MEAN row --------------------
+    r = _run([
+        "generate_audio.py", "--name", "genbatch", "--phase", "test",
+        "--dataroot", str(wav_csv), "--batchSize", "2", "--gen_overlap", "512",
+        "--load_pretrain", str(pretrain_dir),
+    ] + flags)
+    assert r.returncode == 0, r.stderr[-3000:]
+    out = tmp_path / "out" / "genbatch"
+    for i in range(3):
+        assert (out / f"s{i}_sr.wav").exists()
+    lines = (out / "metrics.csv").read_text().strip().splitlines()
+    assert lines[0].startswith("file,")
+    assert len(lines) == 5  # header + 3 files + MEAN
+    assert lines[-1].startswith("MEAN,")
+
 
 def test_api_create_model_and_upsample(tmp_path):
     """High-level API: create_model + one-call upsample of an in-memory wave."""

@@ -22,6 +22,7 @@ import os
 import sys
 from collections import defaultdict
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
 
 
@@ -148,10 +149,11 @@ def main() -> None:
     ap.add_argument("--out", type=str, default="/tmp/mdctgan_tpu_trace")
     ap.add_argument("--xplane", type=str, default="",
                     help="skip capture; analyze this xplane.pb")
+    ap.add_argument("--top", type=int, default=15)
     args = ap.parse_args()
     path = args.xplane or build_and_trace(args.batch, args.steps, args.out)
     print(f"analyzing {path}", file=sys.stderr)
-    report(path, args.steps)
+    report(path, args.steps, top=args.top)
 
 
 if __name__ == "__main__":
