@@ -154,6 +154,7 @@ class _PolyphaseConvInner(nn.Module):
     stride: int = 1
     padding: int = 0
     min_batch: int = 0
+    phases_h: int = 1
     dtype: Optional[Any] = None
 
     @nn.compact
@@ -166,8 +167,37 @@ class _PolyphaseConvInner(nn.Module):
         dtype = self.dtype or x.dtype
         x = x.astype(dtype)
         kern = kernel.astype(dtype)
+        h_out = (x.shape[1] + 2 * pad - k) // s + 1
         w_out = (x.shape[2] + 2 * pad - k) // s + 1
-        if p > 1 and w_out >= p and x.shape[0] >= self.min_batch:
+        ph = self.phases_h
+        if (
+            ph > 1 and s == 1 and x.shape[0] >= self.min_batch
+            and h_out % ph == 0 and w_out % p == 0
+        ):
+            # 2-D phasing: output block (di, dj) in (ph, p) reads taps offset
+            # (di, dj) of a (k+ph-1, k+p-1) bank — for the same lane count
+            # ph*p, splitting phases across H and W inflates the contraction
+            # far less than W alone ((k+ph-1)(k+p-1)/k^2 vs (k+ph*p-1)/k):
+            # for the 7x7 head, 4x8 is 2.6x vs 5.1x.  Un-interleave is one
+            # depth-to-space.
+            taps = [
+                jnp.pad(kern, ((di, ph - 1 - di), (dj, p - 1 - dj),
+                               (0, 0), (0, 0)))
+                for di in range(ph) for dj in range(p)
+            ]
+            bank = jnp.stack(taps, axis=-2).reshape(
+                k + ph - 1, k + p - 1, in_c, ph * p * f
+            )
+            y = jax.lax.conv_general_dilated(
+                x, bank, window_strides=(ph, p),
+                padding=((pad, pad), (pad, pad)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            b, hp, wp, _ = y.shape
+            y = y.reshape(b, hp, wp, ph, p, f)
+            y = jnp.transpose(y, (0, 1, 3, 2, 4, 5))
+            y = y.reshape(b, hp * ph, wp * p, f)
+        elif p > 1 and w_out >= p and x.shape[0] >= self.min_batch:
             # Shifted kernel bank: output phase j reads taps starting at
             # column j*s of a (k, k+(p-1)*s)-wide kernel; stride p*s then
             # computes p adjacent output columns as p*f MXU output lanes in
@@ -210,21 +240,37 @@ class PolyphaseConv(nn.Module):
     The pix2pixHD output head maps ngf channels to output_nc=1
     (networks.py:243-244, 356-357): as a dense conv its single output channel
     uses 1 of the MXU's 128 output lanes (measured 1.1 TFLOP/s on v5e — 0.5%
-    of peak, ~7% of the whole train step).  Folding ``phases`` adjacent
-    output columns into output channels via a shifted kernel bank + stride-
-    ``phases`` conv raises lane occupancy ``phases``-fold with bit-identical
-    parameters (same param tree as ``Conv`` — .pth import is unaffected) and
-    the same math.  Falls back to the dense conv when the output width isn't
-    divisible by ``phases``.
+    of peak, ~7% of the whole train step).  Folding adjacent output pixels
+    into output channels via a shifted kernel bank raises lane occupancy
+    with bit-identical parameters (same param tree as ``Conv`` — .pth import
+    is unaffected) and the same math.
+
+    A 2-D ``phases_h x phases_w`` block variant exists (``phases_h > 1``):
+    at equal lane count it inflates the contraction 2.6x vs 1-D's 5.1x for
+    the 7x7 kernel and measured 1.56x faster fwd+bwd than 1-D p=16 isolated
+    on v5e (tools/ab_phased_conv.py --head; 8x16 hits a pathological
+    layout).  In the full train step, however, the gain is returned to XLA's
+    layout assignment as new transposes in the upstream upsample backward —
+    step-neutral (82.1 vs 81.7 ms) — so the default stays 1-D
+    (docs/PERFORMANCE.md "negative results").  Falls back (1-D, then dense)
+    when the output extents don't divide by the phase counts.
     """
 
     features: int
     kernel: int
     phases: int = 16
+    phases_h: int = 1
+    phases_w: int = 8
+    min_batch_2d: int = 8
     dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
+        if self.phases_h > 1 and x.shape[0] >= self.min_batch_2d:
+            return _PolyphaseConvInner(
+                self.features, self.kernel, self.phases_w,
+                phases_h=self.phases_h, dtype=self.dtype, name="conv",
+            )(x)
         return _PolyphaseConvInner(
             self.features, self.kernel, self.phases, dtype=self.dtype,
             name="conv",

@@ -51,6 +51,35 @@ def test_phased_conv_matches_dense(rng, kernel, stride, padding, phases, width):
     assert max(errs) < 1e-3  # fp32 accumulation-order noise only
 
 
+def test_polyphase_head_2d_matches_dense(rng):
+    """The tanh-head PolyphaseConv switches to 2-D (4x8) phasing at train
+    batches; both regimes must equal the plain dense conv, with matching
+    parameter trees and gradients."""
+    from mdctgan_tpu.models.layers import PolyphaseConv
+
+    x8 = jnp.asarray(rng.standard_normal((8, 22, 38, 6)), jnp.float32)
+    # out (8, 16, 32, 1): 16%4==0, 32%8==0; 2-D is opt-in (phases_h>1)
+    head = PolyphaseConv(1, 7, phases_h=4, phases_w=8)
+    dense = Conv(1, 7)
+    params = dense.init(jax.random.PRNGKey(0), x8)
+    assert jax.tree.structure(params) == jax.tree.structure(
+        head.init(jax.random.PRNGKey(0), x8)
+    )
+    for xx in (x8, x8[:2]):  # 2-D path and small-batch 1-D path
+        assert _max_err(dense.apply(params, xx), head.apply(params, xx)) < 1e-5
+
+    def loss(m, p, xx):
+        return jnp.sum(m.apply(p, xx) ** 2)
+
+    g0 = jax.grad(loss, argnums=(1, 2))(dense, params, x8)
+    g1 = jax.grad(loss, argnums=(1, 2))(head, params, x8)
+    assert max(jax.tree.leaves(jax.tree.map(_max_err, g0, g1))) < 1e-3
+
+    # non-divisible H falls back to the 1-D column fold — still exact
+    xo = x8[:, :21]  # out H 15 (not %4), W 32
+    assert _max_err(dense.apply(params, xo), head.apply(params, xo)) < 1e-5
+
+
 def test_phased_conv_small_batch_falls_back_dense(rng):
     x = jnp.asarray(rng.standard_normal((2, 10, 16, 4)), jnp.float32)
     dense = Conv(8, 3, 1, 1, phases=1)
