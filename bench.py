@@ -22,33 +22,6 @@ import numpy as np
 BASELINE_MDCT_MS = 9.61  # reference README.md:104-107 (RTX 3070 laptop)
 
 
-def timeit(fn, *args, warmup: int = 3, iters: int = 50) -> float:
-    """Pipelined average over UNIQUE inputs.
-
-    Two tunneled-TPU measurement hazards: (a) the runtime can serve repeated
-    identical dispatches from a cache — defeated by cycling perturbed input
-    variants; (b) per-call blocking pays the full tunnel RTT (~tens of ms) —
-    defeated by async dispatch of the whole loop with one final block, which
-    amortizes RTT and measures device throughput.
-    """
-    *head, last = args
-
-    def perturb(tree, i):
-        return jax.tree.map(
-            lambda v: v + i * 1e-4 if jnp.issubdtype(v.dtype, jnp.floating) else v,
-            tree,
-        )
-
-    variants = [perturb(last, i + 1) for i in range(warmup + iters)]
-    outs = [fn(*head, variants[i]) for i in range(warmup)]
-    jax.block_until_ready(outs[-1])
-    t0 = time.perf_counter()
-    outs = [fn(*head, variants[warmup + i]) for i in range(iters)]
-    for o in outs:
-        jax.block_until_ready(o)
-    return (time.perf_counter() - t0) / iters * 1e3  # ms
-
-
 def device_time_scan(
     fn, x, consts=None, n_lo: int = 4, n_hi: int = 104, reps: int = 5
 ) -> float:
@@ -83,11 +56,16 @@ def device_time_scan(
     lo, hi = make(n_lo), make(n_hi)
 
     def run(f):
-        jax.block_until_ready(f(x, consts))  # compile + warm
+        float(f(x, consts))  # compile + warm (fetch forces completion)
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
-            jax.block_until_ready(f(x, consts))
+            # NB: fetch the scalar, don't block_until_ready — through the
+            # remote tunnel block_until_ready can return before the work
+            # ran (measured 0.09 ms for a seconds-long scan); only a value
+            # transfer is a true barrier.  The scalar fetch RTT is constant
+            # and cancels in the lo/hi difference.
+            float(f(x, consts))
             best = min(best, time.perf_counter() - t0)
         return best
 
@@ -95,8 +73,62 @@ def device_time_scan(
     return max(t_hi - t_lo, 1e-9) / (n_hi - n_lo) * 1e3  # ms/iter
 
 
+def train_step_scan_ms(step_fn, state, batch, key,
+                       n_lo: int = 1, n_hi: int = 6, reps: int = 3) -> float:
+    """Per-step DEVICE time of a full train step via a differential scan.
+
+    Timing a loop of independent async dispatches became unreliable on this
+    tunnel: calls sharing the same input ``state`` are data-independent and
+    the runtime overlaps/dedupes them even with perturbed batches (measured
+    3.5 ms/step against a ground-truth device-trace time of 82 ms).
+    Carrying the state through a
+    ``lax.scan`` makes every iteration depend on the previous one — the
+    device MUST run them sequentially — and (t(n_hi) - t(n_lo)) / (n_hi -
+    n_lo) cancels the per-dispatch tunnel overhead.  Matches the device
+    trace to within a fraction of a ms."""
+
+    def make(n):
+        @jax.jit
+        def loop(state0, b0, k):
+            def body(carry, i):
+                b = jax.tree.map(lambda v: v + i * 1e-6, b0)
+                s2, m = step_fn(carry, b, k)
+                return s2, m["loss_G"]
+
+            _, losses = jax.lax.scan(
+                body, state0, jnp.arange(n, dtype=jnp.float32)
+            )
+            return losses[-1]
+
+        return loop
+
+    lo, hi = make(n_lo), make(n_hi)
+
+    def run(f):
+        float(f(state, batch, key))  # compile + warm (fetch = true barrier)
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(f(state, batch, key))  # see device_time_scan: fetch, not block
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_lo, t_hi = run(lo), run(hi)
+    return max(t_hi - t_lo, 1e-9) / (n_hi - n_lo) * 1e3  # ms/step
+
+
 def main() -> None:
+    import os
+
     from mdctgan_tpu.ops.mdct import MDCT
+    from mdctgan_tpu.parallel.mesh import enable_compilation_cache
+
+    # Remote-TPU compiles are minutes; a persistent cache makes repeat bench
+    # runs near-instant (set MDCTGAN_BENCH_CACHE_DIR="" to disable).
+    cache_dir = os.environ.get("MDCTGAN_BENCH_CACHE_DIR",
+                               "/tmp/mdctgan_jax_cache")
+    if cache_dir:
+        enable_compilation_cache(cache_dir)
 
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((64, 32512)), jnp.float32)
@@ -163,11 +195,7 @@ def main() -> None:
         }
         key = jax.random.PRNGKey(1)
 
-        def one_step(s, b):
-            new_s, metrics = step(s, b, key)
-            return metrics["loss_G"]
-
-        step_ms = timeit(one_step, state, batch, warmup=2, iters=10)
+        step_ms = train_step_scan_ms(step, state, batch, key)
         print(
             f"[bench] flagship G+D train step (batch 20, bf16): {step_ms:.2f} ms"
             f" = {1e3 / step_ms:.2f} steps/s/chip",

@@ -14,7 +14,7 @@ import numpy as np
 import optax
 
 sys.path.insert(0, ".")
-from bench import timeit  # noqa: E402
+from bench import train_step_scan_ms  # noqa: E402
 
 from mdctgan_tpu.configs import (  # noqa: E402
     flagship_discriminator,
@@ -27,9 +27,11 @@ from mdctgan_tpu.train.step import build_train_step
 
 
 def main() -> None:
+    from mdctgan_tpu.parallel.mesh import enable_compilation_cache
+
+    enable_compilation_cache("/tmp/mdctgan_jax_cache")
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=20)
-    ap.add_argument("--iters", type=int, default=10)
     args = ap.parse_args()
 
     rng = np.random.default_rng(0)
@@ -55,12 +57,7 @@ def main() -> None:
         ),
     }
     key = jax.random.PRNGKey(1)
-
-    def one_step(s, b):
-        _, metrics = step(s, b, key)
-        return metrics["loss_G"]
-
-    step_ms = timeit(one_step, state, batch, warmup=2, iters=args.iters)
+    step_ms = train_step_scan_ms(step, state, batch, key)
     print(
         f"[bench] flagship G+D train step (batch {bsz}, bf16): {step_ms:.2f} ms"
         f" = {1e3 / step_ms:.2f} steps/s = {bsz * 1e3 / step_ms:.1f}"
