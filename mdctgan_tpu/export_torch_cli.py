@@ -76,11 +76,24 @@ def main() -> None:
     parser.initialize()
     parser.parser.add_argument(
         "--export_dir", type=str, required=True,
-        help="directory to write <epoch>_net_{G,D}.pth into",
+        help="directory to write <label>_net_{G,D}.pth into",
+    )
+    parser.parser.add_argument(
+        "--export_step", type=int, default=None,
+        help="orbax step to export (default: latest); --which_epoch only "
+             "labels the output files",
     )
     opt = parser.parse(save=False)
     if not opt.load_pretrain:
         raise SystemExit("--load_pretrain (orbax checkpoint dir) is required")
+    if opt.which_epoch != "latest" and opt.export_step is None:
+        # orbax checkpoints are keyed by STEP, not epoch: refuse to stamp an
+        # epoch label onto whatever happens to be the latest state.
+        raise SystemExit(
+            "--which_epoch labels the files but orbax checkpoints are "
+            "step-keyed: pass --export_step <step> to select the state "
+            "to export"
+        )
 
     cfg = spectral_config_from_opt(opt)
     generator = build_generator(opt)
@@ -93,10 +106,11 @@ def main() -> None:
         d_in_channels=opt.input_nc + opt.output_nc,
     )
     mgr = CheckpointManager(os.path.join(opt.load_pretrain, "ckpt"))
-    state, epoch, _ = mgr.restore(tmpl)
+    state, epoch, _ = mgr.restore(tmpl, step=opt.export_step)
     mgr.close()
-    label = opt.which_epoch if opt.which_epoch != "latest" else "latest"
-    for path in export_state_to_pth(state, generator, opt, opt.export_dir, label):
+    print(f"restored step {int(state.step)} (epoch cursor {epoch})")
+    for path in export_state_to_pth(state, generator, opt, opt.export_dir,
+                                    opt.which_epoch):
         print(f"wrote {path}")
 
 

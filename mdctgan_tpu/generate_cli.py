@@ -37,27 +37,20 @@ from mdctgan_tpu.options import TrainOptions, spectral_config_from_opt, use_fuse
 from mdctgan_tpu.train.restore import load_generator_vars
 from mdctgan_tpu.train.step import build_inference_fn
 
-AUDIO_EXTS = (".wav", ".flac")
+def _expand_dataroot(dataroot: str):
+    """Returns (paths, batch_mode).  A directory or .csv/.txt index selects
+    batch mode (even for a one-file corpus — the output contract must not
+    depend on corpus size); a plain audio path is the reference's
+    single-file mode.  Listing reuses the training-side ``list_audio_files``
+    (same CSV one-path-per-cell convention and global sort order)."""
+    from mdctgan_tpu.data.dataset import list_audio_files
 
-
-def _expand_dataroot(dataroot: str) -> list:
-    """One path (reference behavior), or a directory / .csv / .txt list."""
-    if os.path.isdir(dataroot):
-        paths = [
-            os.path.join(root, f)
-            for root, _, files in os.walk(dataroot)
-            for f in sorted(files)
-            if f.lower().endswith(AUDIO_EXTS)
-        ]
+    if os.path.isdir(dataroot) or dataroot.lower().endswith((".csv", ".txt")):
+        paths = list_audio_files(dataroot)
         if not paths:
-            raise SystemExit(f"no audio files under {dataroot}")
-        return paths
-    if dataroot.lower().endswith((".csv", ".txt")):
-        base = os.path.dirname(dataroot)
-        with open(dataroot) as f:
-            rows = [line.strip().split(",")[0] for line in f if line.strip()]
-        return [r if os.path.isabs(r) else os.path.join(base, r) for r in rows]
-    return [dataroot]
+            raise SystemExit(f"no audio files in {dataroot}")
+        return paths, True
+    return [dataroot], False
 
 
 def _process_file(path, opt, cfg, transform, infer, g_vars):
@@ -66,8 +59,7 @@ def _process_file(path, opt, cfg, transform, infer, g_vars):
     try:
         ds = AudioTestDataset(path, cfg.segment_length, overlap=opt.gen_overlap)
     except Exception:
-        # reference behavior: print and exit (audio_dataset.py:149-151)
-        raise SystemExit("load audio failed")
+        raise RuntimeError(f"load audio failed: {path}")
     raw = jnp.asarray(ds.raw_audio)[None]
     print(f"Audio length: {ds.audio_len}")
     if opt.is_lr_input:
@@ -133,17 +125,21 @@ def main() -> None:
     expr_dir = os.path.join(opt.checkpoints_dir, opt.name)
     os.makedirs(expr_dir, exist_ok=True)
 
-    paths = _expand_dataroot(opt.dataroot)
+    paths, batch_mode = _expand_dataroot(opt.dataroot)
 
     generator = build_generator(opt)
     g_vars = load_generator_vars(opt, generator, cfg)
     infer = build_inference_fn(generator, transform, out_length=cfg.segment_length)
 
-    if len(paths) == 1:
+    if not batch_mode:
         # reference-parity single-file mode: fixed output names + metric.txt
-        sr, lr, hr, in_sr, m = _process_file(
-            paths[0], opt, cfg, transform, infer, g_vars
-        )
+        try:
+            sr, lr, hr, in_sr, m = _process_file(
+                paths[0], opt, cfg, transform, infer, g_vars
+            )
+        except RuntimeError:
+            # reference behavior: print and exit (audio_dataset.py:149-151)
+            raise SystemExit("load audio failed")
         with open(os.path.join(expr_dir, "metric.txt"), "w") as f:
             f.write("MSE,SNR_SR,LSD\n")
             f.write(f"{m['mse']:f},{m['snr_sr']:f},{m['lsd']:f}")
@@ -155,15 +151,31 @@ def main() -> None:
                            hr, in_sr)
         return
 
-    # batch mode: one model load / one compiled program over the corpus
+    # batch mode: one model load / one compiled program over the corpus.
+    # A corrupt file is skipped (mirrors the training dataset's retry-skip);
+    # output names are de-duplicated when different subdirectories share a
+    # basename, and metrics.csv records the name actually written.
     rows = []
+    used_names = set()
     for path in paths:
         print(f"=== {path}")
+        try:
+            sr, _, _, _, m = _process_file(
+                path, opt, cfg, transform, infer, g_vars
+            )
+        except RuntimeError as e:
+            print(f"[batch] skipping: {e}")
+            continue
         stem = os.path.splitext(os.path.basename(path))[0]
-        sr, _, _, _, m = _process_file(path, opt, cfg, transform, infer, g_vars)
-        native.write_wav16(os.path.join(expr_dir, f"{stem}_sr.wav"),
-                           sr, cfg.hr_sampling_rate)
-        rows.append({"file": path, **m})
+        name, k = f"{stem}_sr.wav", 1
+        while name in used_names:
+            name, k = f"{stem}_{k}_sr.wav", k + 1
+        used_names.add(name)
+        native.write_wav16(os.path.join(expr_dir, name), sr,
+                           cfg.hr_sampling_rate)
+        rows.append({"file": path, "output": name, **m})
+    if not rows:
+        raise SystemExit("no file in the corpus could be processed")
     with open(os.path.join(expr_dir, "metrics.csv"), "w", newline="") as f:
         w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
         w.writeheader()
@@ -171,10 +183,10 @@ def main() -> None:
         mean = {
             k: sum(r[k] for r in rows) / len(rows)
             for k in rows[0]
-            if k != "file"
+            if k not in ("file", "output")
         }
         w.writerow({"file": "MEAN", **mean})
-    print(f"[batch] {len(rows)} files -> {expr_dir}/metrics.csv "
+    print(f"[batch] {len(rows)}/{len(paths)} files -> {expr_dir}/metrics.csv "
           f"(mean LSD {mean['lsd']:.4f}, mean SNR_SR {mean['snr_sr']:.4f})")
 
 

@@ -272,19 +272,23 @@ def test_generate_audio_smoke(tmp_path, wav_csv):
         assert (out / f).exists()
 
     # ---- batch mode (beyond reference): CSV file list, one model load,
-    # per-file SR wavs + metrics.csv with a MEAN row --------------------
+    # per-file SR wavs + metrics.csv with a MEAN row; an unreadable entry
+    # is skipped, not fatal ---------------------------------------------
+    batch_csv = wav_csv.parent / "batch.csv"
+    batch_csv.write_text(wav_csv.read_text() + "missing.wav\n")
     r = _run([
         "generate_audio.py", "--name", "genbatch", "--phase", "test",
-        "--dataroot", str(wav_csv), "--batchSize", "2", "--gen_overlap", "512",
+        "--dataroot", str(batch_csv), "--batchSize", "2", "--gen_overlap", "512",
         "--load_pretrain", str(pretrain_dir),
     ] + flags)
     assert r.returncode == 0, r.stderr[-3000:]
+    assert "skipping" in r.stdout
     out = tmp_path / "out" / "genbatch"
     for i in range(3):
         assert (out / f"s{i}_sr.wav").exists()
     lines = (out / "metrics.csv").read_text().strip().splitlines()
-    assert lines[0].startswith("file,")
-    assert len(lines) == 5  # header + 3 files + MEAN
+    assert lines[0].startswith("file,output,")
+    assert len(lines) == 5  # header + 3 processed files + MEAN
     assert lines[-1].startswith("MEAN,")
 
 

@@ -1,6 +1,6 @@
 """Flagship G+D train-step timing only (subset of bench.py, for perf A/Bs).
 
-Usage: python tools/bench_step.py [--batch 20] [--iters 10]
+Usage: python tools/bench_step.py [--batch 20]
 """
 
 from __future__ import annotations
