@@ -117,6 +117,7 @@ class Conv(nn.Module):
     padding: int = 0
     use_bias: bool = True
     phases: int = 1
+    min_batch: int = 8  # below: dense (bank formatting dominates tiny batches)
     dtype: Optional[Any] = None
 
     @nn.compact
@@ -124,8 +125,8 @@ class Conv(nn.Module):
         if self.phases > 1 and self.use_bias:
             return _PolyphaseConvInner(
                 self.features, self.kernel, self.phases, self.stride,
-                padding=self.padding, min_batch=8, dtype=self.dtype,
-                name="conv",
+                padding=self.padding, min_batch=self.min_batch,
+                dtype=self.dtype, name="conv",
             )(x)
         return nn.Conv(
             self.features,
@@ -143,10 +144,12 @@ class _PolyphaseConvInner(nn.Module):
     """Conv kernel params identical to flax ``nn.Conv`` (so this child scope
     is checkpoint-compatible with a plain Conv), computed polyphase.
 
-    Input must already be padded (convolution is VALID).  ``min_batch``
-    gates the restructuring: below it the dense conv runs (kernel-bank
-    formatting costs dominate tiny batches — same convention as
-    ``UpsampledConv``)."""
+    Symmetric zero padding of ``padding`` per side is applied INSIDE the
+    conv op (its padding attribute — an explicit jnp.pad materializes a
+    copy and breaks fusion); any reflect padding must be done by the caller
+    with ``padding=0`` here.  ``min_batch`` gates the restructuring: below
+    it the dense conv runs (kernel-bank formatting costs dominate tiny
+    batches — same convention as ``UpsampledConv``)."""
 
     features: int
     kernel: int
@@ -164,7 +167,9 @@ class _PolyphaseConvInner(nn.Module):
         in_c = x.shape[-1]
         kernel = self.param("kernel", conv_init(), (k, k, in_c, f), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (f,), jnp.float32)
-        dtype = self.dtype or x.dtype
+        # match flax nn.Conv's dtype promotion (bf16 x + f32 params -> f32
+        # compute) so phased and dense branches are numerically identical
+        dtype = self.dtype or jnp.promote_types(x.dtype, kernel.dtype)
         x = x.astype(dtype)
         kern = kernel.astype(dtype)
         h_out = (x.shape[1] + 2 * pad - k) // s + 1
@@ -202,12 +207,13 @@ class _PolyphaseConvInner(nn.Module):
             # column j*s of a (k, k+(p-1)*s)-wide kernel; stride p*s then
             # computes p adjacent output columns as p*f MXU output lanes in
             # one pass.  Non-multiple-of-p widths round up with extra zero
-            # padding; the surplus columns (whose windows read only that
-            # padding) are cropped after — the kept columns' windows stay
-            # within the original extent, so their math is untouched.  All
-            # zero padding rides the conv op's padding attribute (an
-            # explicit jnp.pad materializes a copy and breaks fusion, which
-            # a trace showed eating the phasing win).
+            # padding and the surplus columns are cropped after; surplus
+            # windows may straddle real data and padding so their values
+            # are garbage — correctness rests on the crop alone, while
+            # every KEPT column reads exactly the window the dense conv
+            # would.  All zero padding rides the conv op's padding
+            # attribute (an explicit jnp.pad materializes a copy and
+            # breaks fusion, which a trace showed eating the phasing win).
             w_keep, rem = w_out, w_out % p
             extra = (p - rem) * s if rem else 0
             taps = [
@@ -266,7 +272,15 @@ class PolyphaseConv(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        if self.phases_h > 1 and x.shape[0] >= self.min_batch_2d:
+        # Decide 2-D eligibility HERE (both extents must divide) so that an
+        # ineligible geometry falls back to the tuned 1-D ``phases`` count,
+        # not to the inner's 1-D-with-phases_w path.
+        k = self.kernel
+        h_out, w_out = x.shape[1] - k + 1, x.shape[2] - k + 1
+        if (
+            self.phases_h > 1 and x.shape[0] >= self.min_batch_2d
+            and h_out % self.phases_h == 0 and w_out % self.phases_w == 0
+        ):
             return _PolyphaseConvInner(
                 self.features, self.kernel, self.phases_w,
                 phases_h=self.phases_h, dtype=self.dtype, name="conv",

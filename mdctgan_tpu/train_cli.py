@@ -261,7 +261,13 @@ def main() -> None:
                     print(f"profiler trace written to {opt.profile_dir}")
 
                 if total_steps % opt.print_freq == 0:
-                    errors = {k: float(v) for k, v in metrics.items()}
+                    # ONE device-to-host transfer for the whole dict: per-value
+                    # float() costs a full tunnel round-trip each (~6x RTT per
+                    # printed step, measured 0.24 s/step vs 0.082 s device
+                    # time at --print_freq 1).
+                    errors = {
+                        k: float(v) for k, v in jax.device_get(metrics).items()
+                    }
                     t = time.time() - iter_start
                     visualizer.print_current_errors(epoch, epoch_iter, errors, t)
                     visualizer.plot_current_errors(errors, total_steps)
