@@ -83,10 +83,12 @@ def _process_file(path, opt, cfg, transform, infer, g_vars):
     n_pad = (-n) % bs
     padded = np.concatenate([segments, np.zeros((n_pad, cfg.segment_length),
                                                 np.float32)]) if n_pad else segments
+    # dispatch ALL batches before fetching any result: fetching inside the
+    # loop serializes each batch behind a tunnel round-trip
     for i in range(0, len(padded), bs):
         _, sr_audio = infer(g_vars, jnp.asarray(padded[i : i + bs]))
-        outs.append(np.asarray(sr_audio[..., : cfg.segment_length]))
-    sr_segments = np.concatenate(outs)[:n]
+        outs.append(sr_audio[..., : cfg.segment_length])
+    sr_segments = np.concatenate([np.asarray(o) for o in outs])[:n]
 
     if opt.gen_overlap > 0:
         sr = overlap_add_segments(sr_segments, cfg.segment_length, opt.gen_overlap)
@@ -103,7 +105,8 @@ def _process_file(path, opt, cfg, transform, infer, g_vars):
         jnp.asarray(sr[:audio_len])[None],
         cfg.n_fft, cfg.hop_length, cfg.win_length, cfg.center,
     )
-    metrics = {k: float(v) for k, v in m.items()}
+    host = jax.device_get(m)  # keep m's key order (pytrees sort dict keys)
+    metrics = {k: float(host[k]) for k in m}
     print(f"MSE: {metrics['mse']:.4f}")
     print(f"SNR_SR: {metrics['snr_sr']:.4f}")
     print(f"SNR_LR: {metrics['snr_lr']:.4f}")

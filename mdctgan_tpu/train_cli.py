@@ -213,7 +213,12 @@ def main() -> None:
             _, sr_audio = infer_fn(g_vars, lr_dev)
             m = compute_metrics(hr_dev, lr_dev, sr_audio[..., : cfg.segment_length],
                                 cfg.n_fft, cfg.hop_length, cfg.win_length, cfg.center)
-            rows.append({k: float(v) for k, v in m.items()})
+            # one transfer per eval batch (per-value float() pays a tunnel
+            # round-trip each); keep m's key ORDER — device_get's pytree
+            # flattening sorts dict keys, and eval.csv columns must stay
+            # stable across appends
+            host = jax.device_get(m)
+            rows.append({k: float(host[k]) for k in m})
         if rows:
             avg = {k: float(np.mean([r[k] for r in rows])) for k in rows[0]}
             header = not os.path.exists(eval_csv)
@@ -265,9 +270,8 @@ def main() -> None:
                     # float() costs a full tunnel round-trip each (~6x RTT per
                     # printed step, measured 0.24 s/step vs 0.082 s device
                     # time at --print_freq 1).
-                    errors = {
-                        k: float(v) for k, v in jax.device_get(metrics).items()
-                    }
+                    host = jax.device_get(metrics)
+                    errors = {k: float(host[k]) for k in metrics}
                     t = time.time() - iter_start
                     visualizer.print_current_errors(epoch, epoch_iter, errors, t)
                     visualizer.plot_current_errors(errors, total_steps)
