@@ -83,10 +83,17 @@ def _process_file(path, opt, cfg, transform, infer, g_vars):
     n_pad = (-n) % bs
     padded = np.concatenate([segments, np.zeros((n_pad, cfg.segment_length),
                                                 np.float32)]) if n_pad else segments
+    # Non-arcsinh configs reconstruct the synthesized band with a random
+    # +/-1 pseudo-phase (pix2pixHD_model.py:150-157) — feed an rng there.
+    needs_phase_rng = not (
+        cfg.arcsinh_transform or cfg.raw_mdct or cfg.explicit_encoding
+    ) and cfg.up_ratio > 1
+    base_key = jax.random.PRNGKey(opt.seed)
     # dispatch ALL batches before fetching any result: fetching inside the
     # loop serializes each batch behind a tunnel round-trip
     for i in range(0, len(padded), bs):
-        _, sr_audio = infer(g_vars, jnp.asarray(padded[i : i + bs]))
+        key = jax.random.fold_in(base_key, i) if needs_phase_rng else None
+        _, sr_audio = infer(g_vars, jnp.asarray(padded[i : i + bs]), key)
         outs.append(sr_audio[..., : cfg.segment_length])
     sr_segments = np.concatenate([np.asarray(o) for o in outs])[:n]
 

@@ -288,10 +288,15 @@ class SpectralTransform:
             spectro = self.mdct(audio)[:, None]  # (B, 1, F, K) NCHW image
             pha = jnp.sign(spectro)
             log_spectro, norm_param = self.normalize(spectro)
-        if not cfg.explicit_encoding and rng is not None:
+        # The reference draws independent noises for the phase jitter and the
+        # mask fill — split the key so the two streams stay uncorrelated.
+        rng_pha = rng_fill = None
+        if rng is not None:
+            rng_pha, rng_fill = jax.random.split(rng)
+        if not cfg.explicit_encoding and rng_pha is not None:
             # Decorative phase jitter (pix2pixHD_model.py:49-54); only the
             # non-arcsinh inference path consumes pha at all.
-            noise = jax.random.normal(rng, pha.shape, pha.dtype)
+            noise = jax.random.normal(rng_pha, pha.shape, pha.dtype)
             noise = (noise - noise.min()) / (noise.max() - noise.min())
             pha = pha * noise
         if mask:
@@ -300,10 +305,10 @@ class SpectralTransform:
             if mask_size > 0:
                 keep = log_spectro[..., :-mask_size]
                 shape = (*log_spectro.shape[:-1], mask_size)
-                if cfg.fit_residual or rng is None:
+                if cfg.fit_residual or rng_fill is None:
                     fill = jnp.zeros(shape, log_spectro.dtype)
                 else:
-                    fill = jax.random.normal(rng, shape, log_spectro.dtype)
+                    fill = jax.random.normal(rng_fill, shape, log_spectro.dtype)
                     fill = fill / (fill.max() - fill.min())
                 log_spectro = jnp.concatenate((keep, fill), axis=-1)
         return log_spectro, pha, norm_param

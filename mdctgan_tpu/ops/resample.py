@@ -80,6 +80,7 @@ def resample(
         window_strides=(orig,),
         padding="VALID",
         dimension_numbers=("NCH", "OIH", "NCH"),
+        precision=jax.lax.Precision.HIGHEST,
     )
     # interleave phases: (N, new, F) -> (N, F*new)
     y = jnp.swapaxes(y, 1, 2).reshape(x.shape[0], -1)
@@ -102,10 +103,12 @@ def degrade_lr(
 def add_noise_snr(waveform: Array, rng: Array, snr_db: float, segment_length: int) -> Array:
     """SNR-calibrated additive noise (audio_dataset.py:72-78)."""
     noise = jax.random.normal(rng, waveform.shape, waveform.dtype)
-    noise = noise - jnp.mean(noise)
+    # Per-sample mean/std: the reference normalizes each sample's noise
+    # individually (one waveform per DataLoader item).
+    noise = noise - jnp.mean(noise, axis=-1, keepdims=True)
     signal_power = jnp.sum(waveform ** 2, axis=-1, keepdims=True) / segment_length
     noise_var = signal_power / (10.0 ** (snr_db / 10.0))
-    noise = jnp.sqrt(noise_var) / jnp.std(noise) * noise
+    noise = jnp.sqrt(noise_var) / jnp.std(noise, axis=-1, keepdims=True) * noise
     return waveform + noise
 
 

@@ -85,7 +85,6 @@ def build_train_step(
     replacements for the D_fake input (the reference's fake replay buffer,
     util/image_pool.py) — and emits the current fake concat under the
     ``"fake_concat"`` metrics key for ``ImagePool.commit``."""
-    cfg = transform.cfg
 
     def d_concat(lr_spec, img_spec):
         return jnp.concatenate((lr_spec, transform.g_input(img_spec)), axis=1)
@@ -201,7 +200,7 @@ def build_inference_fn(
     cfg = transform.cfg
 
     @jax.jit
-    def infer(g_vars, lr_audio: Array):
+    def infer(g_vars, lr_audio: Array, rng: Optional[Array] = None):
         lr_spec, lr_pha, lr_np = transform.lr_forward(lr_audio)
         g_in = _nchw_to_nhwc(transform.g_input(lr_spec))
         sr = _nhwc_to_nchw(generator.apply(g_vars, g_in, train=False))
@@ -211,7 +210,11 @@ def build_inference_fn(
             sr = sr + lr_spec
         # NB: SR is denormalized with the *LR* norm params — intentional
         # (pix2pixHD_model.py:636; matched ranges via --abs_norm).
-        sr_audio = transform.to_audio(sr, lr_np, lr_pha, out_length=out_length)
+        # ``rng`` feeds the non-arcsinh path's random +/-1 pseudo-phase for
+        # the synthesized band (pix2pixHD_model.py:150-157); with rng=None
+        # that band reconstructs with constant +1 phase instead.
+        sr_audio = transform.to_audio(sr, lr_np, lr_pha, rng=rng,
+                                      out_length=out_length)
         return sr, sr_audio
 
     return infer

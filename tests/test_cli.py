@@ -210,7 +210,7 @@ def test_train_debug_smoke(tmp_path, wav_csv):
         "--num_D", "2", "--n_layers_D", "2", "--ndf", "4",
         "--segment_length", "8128", "--n_fft", "128", "--hop_length", "64",
         "--win_length", "128", "--bins", "128",
-        "--save_latest_freq", "1", "--eval_freq", "0", "--eval_size", "2",
+        "--save_latest_freq", "1", "--eval_freq", "1", "--eval_size", "2",
         "--nThreads", "2", "--no_html",
     ])
     assert r.returncode == 0, r.stderr[-3000:]
@@ -218,6 +218,10 @@ def test_train_debug_smoke(tmp_path, wav_csv):
     assert (ckpt / "smoke" / "opt.txt").exists()
     assert (ckpt / "smoke" / "loss_log.txt").exists()
     assert (ckpt / "smoke" / "ckpt").exists()
+    # eval.csv column ORDER is part of the file contract (appends across
+    # resumes must align): metrics in compute_metrics insertion order.
+    header = (ckpt / "smoke" / "eval.csv").read_text().splitlines()[0]
+    assert header == "step,epoch,mse,snr_sr,snr_lr,lsd"
 
 
 def test_generate_audio_smoke(tmp_path, wav_csv):

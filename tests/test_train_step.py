@@ -91,6 +91,33 @@ def test_inference_fn_shapes(rng):
     assert np.isfinite(np.asarray(sr_audio)).all()
 
 
+def test_inference_db_path_random_pseudo_phase(rng):
+    """Non-arcsinh (dB) configs reconstruct the synthesized band with a
+    random +/-1 pseudo-phase at inference (pix2pixHD_model.py:150-157):
+    passing an rng to the inference fn must randomize that band (different
+    keys -> different audio), while rng=None stays deterministic."""
+    cfg = dataclasses.replace(
+        TINY, arcsinh_transform=False, abs_norm=False, fit_residual=False
+    )
+    tf = SpectralTransform(cfg)
+    gen = GlobalGenerator(
+        input_nc=1, output_nc=1, ngf=4, n_downsampling=2, n_blocks=1,
+        n_attn=0, input_size=(32, 32),
+    )
+    g_vars = gen.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 1)),
+                      train=False)
+    infer = build_inference_fn(gen, tf, out_length=cfg.segment_length)
+    batch = make_batch(rng, b=2)
+    _, a_none = infer(g_vars, batch["lr_audio"])
+    _, a_none2 = infer(g_vars, batch["lr_audio"])
+    np.testing.assert_array_equal(np.asarray(a_none), np.asarray(a_none2))
+    _, a_k0 = infer(g_vars, batch["lr_audio"], jax.random.PRNGKey(1))
+    _, a_k1 = infer(g_vars, batch["lr_audio"], jax.random.PRNGKey(2))
+    assert np.isfinite(np.asarray(a_k0)).all()
+    assert np.abs(np.asarray(a_k0) - np.asarray(a_k1)).max() > 0
+    assert np.abs(np.asarray(a_k0) - np.asarray(a_none)).max() > 0
+
+
 def test_train_step_multichip_mesh(rng):
     """The same jitted step under an 8-device data-parallel mesh."""
     assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
