@@ -125,13 +125,17 @@ class AudioTestDataset:
         self._init_from_array(raw, sr, segment_length, overlap)
 
     def _init_from_array(
-        self, raw: np.ndarray, sr: int, segment_length: int, overlap: int
+        self, raw: np.ndarray, sr: int, segment_length: int, overlap: int,
+        dc_shift: bool = True,
     ) -> None:
         self.segment_length = int(segment_length)
         self.overlap = int(overlap)
         self.in_sampling_rate = sr
         raw = np.asarray(raw, np.float32).reshape(-1)
-        self.raw_audio = raw + (1e-4 - raw.mean())  # DC shift (:146)
+        # DC shift (:146) — file path only; the reference's AudioAppDataset
+        # overrides read_audio() with a no-op, so in-memory audio is NOT
+        # shifted (:201-205).
+        self.raw_audio = raw + (1e-4 - raw.mean()) if dc_shift else raw
         self.audio_len = len(self.raw_audio)
 
     def segments_of(self, audio: np.ndarray) -> np.ndarray:
@@ -151,7 +155,8 @@ class AudioTestDataset:
 
 class AudioAppDataset(AudioTestDataset):
     """In-memory variant: takes a waveform array + its sample rate instead of
-    a file path (audio_dataset.py:187-205) — the embedding-API entry."""
+    a file path (audio_dataset.py:187-205) — the embedding-API entry.  No DC
+    shift: the reference's read_audio override is a no-op (:204-205)."""
 
     def __init__(
         self,
@@ -160,7 +165,9 @@ class AudioAppDataset(AudioTestDataset):
         segment_length: int,
         overlap: int = 0,
     ):
-        self._init_from_array(audio, sample_rate, segment_length, overlap)
+        self._init_from_array(
+            audio, sample_rate, segment_length, overlap, dc_shift=False
+        )
 
 
 def overlap_add_segments(

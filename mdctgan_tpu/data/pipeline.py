@@ -75,6 +75,7 @@ class InputPipeline:
         self._rng = jax.random.PRNGKey(seed)
         self._queue: "queue.Queue" = queue.Queue(maxsize=queue_size)
         self._stop = threading.Event()
+        self._error: Optional[BaseException] = None
         self._prefetcher = None
         # the C++ prefetcher samples randomly; serial mode stays in Python
         if not getattr(dataset, "serial", False) and native.load_library() is not None:
@@ -91,24 +92,44 @@ class InputPipeline:
 
     def _host_batch(self) -> np.ndarray:
         if self._prefetcher is not None:
-            segs = [self._prefetcher.next()[0] for _ in range(self.batch_size)]
+            segs = []
+            for _ in range(self.batch_size):
+                seg, sr = self._prefetcher.next()
+                # the jitted degradation is compiled for orig_freq; a file at
+                # another rate would be silently resampled with the wrong
+                # ratio (the reference resamples per item at its own rate)
+                if sr != self.orig_freq:
+                    raise ValueError(
+                        f"sample rate {sr} != pipeline orig_freq "
+                        f"{self.orig_freq} (mixed-rate corpora unsupported)"
+                    )
+                segs.append(seg)
             return np.stack(segs)
-        return self.dataset.sample_batch(self.batch_size)[0]
+        batch, sr = self.dataset.sample_batch(self.batch_size)
+        if sr != self.orig_freq:
+            raise ValueError(
+                f"sample rate {sr} != pipeline orig_freq {self.orig_freq} "
+                f"(mixed-rate corpora unsupported)"
+            )
+        return batch
 
     def _work(self) -> None:
         while not self._stop.is_set():
             try:
                 host = self._host_batch()
+                if self.sharding is not None:
+                    from mdctgan_tpu.parallel.mesh import put_global_batch
+
+                    wave = put_global_batch(host, self.sharding)
+                else:
+                    wave = jnp.asarray(host)
+                self._rng, sub = jax.random.split(self._rng)
+                batch = self._degrade(wave, sub)
             except StopIteration:
                 break
-            if self.sharding is not None:
-                from mdctgan_tpu.parallel.mesh import put_global_batch
-
-                wave = put_global_batch(host, self.sharding)
-            else:
-                wave = jnp.asarray(host)
-            self._rng, sub = jax.random.split(self._rng)
-            batch = self._degrade(wave, sub)
+            except BaseException as e:  # surface in __next__, don't die silently
+                self._error = e
+                break
             while not self._stop.is_set():
                 try:
                     self._queue.put(batch, timeout=0.5)
@@ -121,12 +142,18 @@ class InputPipeline:
 
     def __next__(self) -> Dict[str, jax.Array]:
         while True:
+            if self._queue.empty() and self._error is not None:
+                raise RuntimeError("input pipeline worker failed") from self._error
             if self._stop.is_set() and self._queue.empty():
                 raise StopIteration
             try:
                 return self._queue.get(timeout=1.0)
             except queue.Empty:
                 if not self._thread.is_alive():
+                    if self._error is not None:
+                        raise RuntimeError(
+                            "input pipeline worker failed"
+                        ) from self._error
                     raise StopIteration
 
     def close(self) -> None:
@@ -137,5 +164,9 @@ class InputPipeline:
         except queue.Empty:
             pass
         self._thread.join(timeout=5)
-        if self._prefetcher is not None:
+        # Only tear down the native prefetcher once the worker thread is
+        # gone: destroying it while the thread is blocked inside
+        # audioio_prefetcher_next would free the C++ object under a live
+        # call (use-after-free).  Leak it instead on a stuck shutdown.
+        if self._prefetcher is not None and not self._thread.is_alive():
             self._prefetcher.close()

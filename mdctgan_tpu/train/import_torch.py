@@ -69,10 +69,9 @@ def _conv_resblock(prefix: str, path: Tuple[str, ...], out: List[Entry]) -> None
     out.append((f"{prefix}.conv_res", path + ("conv_res", "conv"), "conv"))
 
 
-def _interp_upsample(prefix: str, path: Tuple[str, ...], out: List[Entry]) -> None:
-    out.append((f"{prefix}.conv1", path + ("conv1", "conv"), "conv"))
-    out.append((f"{prefix}.conv2", path + ("conv2", "conv"), "conv"))
-    out.append((f"{prefix}.conv_res", path + ("conv_res", "conv"), "conv"))
+# InterpolateUpsample has the same three conv attribute names (networks.py:
+# 383-392) — the mapping entries are identical to ConvResBlock's.
+_interp_upsample = _conv_resblock
 
 
 def _resnet_block(prefix: str, path: Tuple[str, ...], out: List[Entry]) -> None:
@@ -221,14 +220,19 @@ def local_enhancer_entries(
             else:
                 _sub.module(lambda p, o: _conv_resblock(p, ("local_attn_down0",), o))
             _sub.skip(2)
-            # shared module repeated twice -> import from FIRST occurrence only
-            if downsample_type == "conv":
-                _sub.add("conv", ("local_attn_down_shared", "conv"))
-                _sub.idx += 1
-            else:
-                _sub.module(
-                    lambda p, o: _conv_resblock(p, ("local_attn_down_shared",), o)
-                )
+            # shared module registered twice (`[layer, norm, relu]*2`,
+            # networks.py:224-226): torch state_dict emits its tensors under
+            # BOTH Sequential indices, so map both occurrences onto the one
+            # flax module (identical values; the leftover check stays strict).
+            for _ in range(2):
+                if downsample_type == "conv":
+                    _sub.add("conv", ("local_attn_down_shared", "conv"))
+                    _sub.idx += 1
+                else:
+                    _sub.module(
+                        lambda p, o: _conv_resblock(p, ("local_attn_down_shared",), o)
+                    )
+                _sub.skip(2)
             seq.entries.extend(_sub.entries)
             seq.idx += 1
             # attention: dim = ngf_l != dim_out = ngf_l*2 -> shortcut exists
@@ -241,10 +245,11 @@ def local_enhancer_entries(
             lambda pfx2, out, i=i: _resnet_block(pfx2, (f"local_res{i}",), out)
         )
     if n_attn_local > 0:
-        # 3x shared upsample: import from first occurrence
-        _up_layer(seq, upsample_type, ("local_attn_up_shared",))
-        for _ in range(2):
-            seq.skip(3 if upsample_type == "transconv" else 3)
+        # 3x shared upsample (`[up, norm, relu]*3`, networks.py:236-237):
+        # the torch state_dict repeats the shared module's tensors under all
+        # three Sequential indices — map each occurrence to the one flax module.
+        for _ in range(3):
+            _up_layer(seq, upsample_type, ("local_attn_up_shared",))
     _up_layer(seq, upsample_type, ("local_up",))
     seq.skip(1)
     seq.conv(("local_head", "conv"))
@@ -322,33 +327,35 @@ def convert_state_dict(
             return _to_np(state_dict[key])
         return None
 
+    def require(key: str) -> np.ndarray:
+        t = take(key)
+        if t is None:
+            raise KeyError(f"missing torch key {key}")
+        return t
+
     for prefix, path, kind in entries:
         if kind == "conv":
-            w = take(f"{prefix}.weight")
-            if w is None:
-                raise KeyError(f"missing torch key {prefix}.weight")
+            w = require(f"{prefix}.weight")
             params[path + ("kernel",)] = np.transpose(w, (2, 3, 1, 0))
             b = take(f"{prefix}.bias")
             if b is not None:
                 params[path + ("bias",)] = b
         elif kind == "convT":
-            w = take(f"{prefix}.weight")  # (I, O, kH, kW)
-            if w is None:
-                raise KeyError(f"missing torch key {prefix}.weight")
+            w = require(f"{prefix}.weight")  # (I, O, kH, kW)
             # flax ConvTranspose(transpose_kernel=True): kernel (kH,kW,O,I)
             params[path + ("kernel",)] = np.transpose(w, (2, 3, 1, 0))
             b = take(f"{prefix}.bias")
             if b is not None:
                 params[path + ("bias",)] = b
         elif kind == "bn":
-            params[path + ("scale",)] = take(f"{prefix}.weight")
-            params[path + ("bias",)] = take(f"{prefix}.bias")
-            stats[path + ("mean",)] = take(f"{prefix}.running_mean")
-            stats[path + ("var",)] = take(f"{prefix}.running_var")
+            params[path + ("scale",)] = require(f"{prefix}.weight")
+            params[path + ("bias",)] = require(f"{prefix}.bias")
+            stats[path + ("mean",)] = require(f"{prefix}.running_mean")
+            stats[path + ("var",)] = require(f"{prefix}.running_var")
             take(f"{prefix}.num_batches_tracked")  # discard
         elif kind == "posemb":
-            params[path + ("height",)] = take(f"{prefix}.height")
-            params[path + ("width",)] = take(f"{prefix}.width")
+            params[path + ("height",)] = require(f"{prefix}.height")
+            params[path + ("width",)] = require(f"{prefix}.width")
         else:
             raise ValueError(kind)
 

@@ -48,7 +48,16 @@ class ImagePool:
         for i in range(b):
             if len(self.images) + int((slots[:i] == -2).sum()) < self.pool_size:
                 slots[i] = -2  # append slot
-            elif self.enabled and self._rng.uniform() > 0.5:
+            elif (
+                self.enabled
+                and len(self.images) == self.pool_size  # actually full: stored
+                # samples exist for every slot.  While pending appends from
+                # THIS batch only virtually fill the pool, fall through and
+                # use the new fake (the reference would swap against a fake
+                # appended earlier in the same batch, which presample cannot
+                # see — using the current fake is the closest equivalent).
+                and self._rng.uniform() > 0.5
+            ):
                 j = int(self._rng.integers(0, self.pool_size))
                 old[i] = self.images[j]
                 mask[i] = True

@@ -106,6 +106,22 @@ def test_pool_fill_then_swap():
     assert 20 < swapped < 80  # p=0.5 per sample over 100 draws
 
 
+def test_pool_smaller_than_batch():
+    """pool_size < batchSize (or not a multiple): the pool fills mid-batch;
+    the remaining samples must use the current fake, never index stored
+    images that don't exist yet (regression: IndexError on the fill batch)."""
+    from mdctgan_tpu.utils.pool import ImagePool
+
+    for pool_size in (1, 3):
+        pool = ImagePool(pool_size, seed=0)
+        shape = (2, 1, 2, 2)
+        for k in range(30):
+            old, mask = pool.presample(shape)
+            # samples flagged for swap always have a real stored image
+            pool.commit(np.full(shape, float(k), np.float32))
+        assert len(pool.images) == pool_size
+
+
 # --------------------------------------------------------------------------
 # LR schedule
 # --------------------------------------------------------------------------

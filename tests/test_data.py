@@ -97,6 +97,18 @@ def test_test_dataset_segments(wav_dir):
     assert abs(ds.raw_audio.mean() - 1e-4) < 1e-6
 
 
+def test_app_dataset_no_dc_shift(rng):
+    """The in-memory AudioAppDataset must pass the caller's waveform through
+    untouched: the reference's AudioAppDataset overrides read_audio with a
+    no-op, so the file path's +1e-4-mean DC shift never applies
+    (audio_dataset.py:187-205; regression — it was being applied here)."""
+    from mdctgan_tpu.data.dataset import AudioAppDataset
+
+    audio = (0.3 + 0.1 * rng.standard_normal(30000)).astype(np.float32)
+    ds = AudioAppDataset(audio, 48000, segment_length=10000)
+    np.testing.assert_array_equal(ds.raw_audio, audio)
+
+
 def test_overlap_add_roundtrip(rng):
     """Unfold + edge-halve + fold reproduces the interior exactly when
     segments perfectly overlap-tile the signal."""
