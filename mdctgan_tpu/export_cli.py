@@ -37,7 +37,16 @@ def export_inference(opt) -> bytes:
     """Build + restore the model per ``opt`` and serialize the inference fn
     (weights baked in) for ``opt.export_platforms``."""
     cfg = spectral_config_from_opt(opt)
-    transform = SpectralTransform(cfg, use_fused=use_fused_from_opt(opt))
+    platforms = [p.strip() for p in opt.export_platforms.split(",") if p.strip()]
+    use_fused = use_fused_from_opt(opt)
+    if use_fused is None and platforms != ["tpu"]:
+        # The fused Pallas kernels lower only for the tpu platform, so "auto"
+        # must not engage them in a multi-platform (or non-TPU) artifact —
+        # it would make the export crash (or depend on the export host's
+        # attached devices).  An explicit --fused_mdct on still forces them
+        # and fails loudly.
+        use_fused = False
+    transform = SpectralTransform(cfg, use_fused=use_fused)
     generator = build_generator(opt)
     g_vars = load_generator_vars(opt, generator, cfg)
     infer = build_inference_fn(generator, transform, out_length=cfg.segment_length)
@@ -47,7 +56,6 @@ def export_inference(opt) -> bytes:
         _, sr_audio = infer(g_vars, lr_segments)
         return sr_audio[..., : cfg.segment_length]
 
-    platforms = [p.strip() for p in opt.export_platforms.split(",") if p.strip()]
     spec = jax.ShapeDtypeStruct((opt.export_batch, cfg.segment_length), jnp.float32)
     exported = jax.export.export(serve, platforms=platforms)(spec)
     return exported.serialize()

@@ -64,8 +64,9 @@ def _kernel(chunks_ref, mat_ref, out_ref, *, ratio: int, n_frames: int,
     if gain != 0.0:
         # asinh isn't lowered by Mosaic; use the sign-stable closed form
         # asinh(x) = sign(x) * log(|x| + sqrt(x^2 + 1)).
-        y = jnp.abs(gain * spec)
-        asinh = jnp.sign(spec) * jnp.log(y + jnp.sqrt(y * y + 1.0))
+        gx = gain * spec
+        y = jnp.abs(gx)
+        asinh = jnp.sign(gx) * jnp.log(y + jnp.sqrt(y * y + 1.0))
         spec = asinh * (1.0 / _LN10)
     out_ref[0, :, :] = spec * scale + shift
 

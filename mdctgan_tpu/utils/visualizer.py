@@ -58,7 +58,8 @@ class Visualizer:
         """Console + loss_log.txt (visualizer.py:92-100)."""
         message = f"(epoch: {epoch}, iters: {i}, time: {t:.3f}) "
         for k, v in errors.items():
-            message += f"{k}: {float(v):.3f} "
+            if float(v) != 0:  # reference skips inactive losses (:95-96)
+                message += f"{k}: {float(v):.3f} "
         print(message)
         with open(self.log_name, "a") as f:
             f.write(f"{message}\n")
