@@ -45,10 +45,20 @@ class Model:
         }
 
 
-def create_model(opt, rng: Optional[jax.Array] = None, is_train: Optional[bool] = None) -> Model:
+def create_model(
+    opt,
+    rng: Optional[jax.Array] = None,
+    is_train: Optional[bool] = None,
+    steps_per_epoch: int = 1,
+) -> Model:
     """Build the full model bundle from a parsed options namespace
     (reference create_model, models/models.py:3-20 + Pix2PixHDModel.initialize,
-    pix2pixHD_model.py:215-364)."""
+    pix2pixHD_model.py:215-364).
+
+    ``steps_per_epoch`` paces the epoch-linear lr decay; with the default of 1
+    every optimizer step counts as an epoch, so pass the real value when
+    training through this API (train_cli computes it from the dataset size).
+    """
     if is_train is None:
         is_train = bool(getattr(opt, "isTrain", True))
     cfg = spectral_config_from_opt(opt)
@@ -57,7 +67,9 @@ def create_model(opt, rng: Optional[jax.Array] = None, is_train: Optional[bool] 
     discriminator = build_discriminator(opt)
     g_tx, d_tx = make_optimizers(
         getattr(opt, "lr", 2e-4), getattr(opt, "beta1", 0.5),
-        getattr(opt, "niter", 100), getattr(opt, "niter_decay", 100), 1,
+        getattr(opt, "niter", 100), getattr(opt, "niter_decay", 100),
+        steps_per_epoch,
+        accum_steps=getattr(opt, "accum_steps", 1),
     )
     state = create_train_state(
         rng if rng is not None else jax.random.PRNGKey(getattr(opt, "seed", 42)),

@@ -65,12 +65,14 @@ def main() -> None:
 
     honor_jax_platforms_env()
 
+    from types import SimpleNamespace
+
+    import jax.numpy as jnp
+
     from mdctgan_tpu.models.discriminator import build_discriminator
     from mdctgan_tpu.models.generator import build_generator
     from mdctgan_tpu.options import TrainOptions, spectral_config_from_opt
     from mdctgan_tpu.train.checkpoint import CheckpointManager
-    from mdctgan_tpu.train.schedule import make_optimizers
-    from mdctgan_tpu.train.state import create_train_state
 
     parser = TrainOptions()
     parser.initialize()
@@ -97,18 +99,37 @@ def main() -> None:
 
     cfg = spectral_config_from_opt(opt)
     generator = build_generator(opt)
-    g_tx, d_tx = make_optimizers(opt.lr, opt.beta1, opt.niter, opt.niter_decay, 1)
-    tmpl = create_train_state(
-        jax.random.PRNGKey(0), generator, build_discriminator(opt),
-        g_tx, d_tx,
-        spectro_shape=(cfg.n_bins, cfg.n_fft // 2),
-        g_in_channels=opt.input_nc,
-        d_in_channels=opt.input_nc + opt.output_nc,
+    discriminator = build_discriminator(opt)
+    # Weights-only partial restore: a full-state template would have to
+    # reproduce the training run's optax optimizer-state structure (which
+    # varies with --freeze_*/--niter_fix_global masking).
+    g_tmpl = generator.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, cfg.n_bins, cfg.n_fft // 2, opt.input_nc)),
+        train=False,
+    )
+    d_tmpl = discriminator.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, cfg.n_bins, cfg.n_fft // 2,
+                   opt.input_nc + opt.output_nc)),
     )
     mgr = CheckpointManager(os.path.join(opt.load_pretrain, "ckpt"))
-    state, epoch, _ = mgr.restore(tmpl, step=opt.export_step)
+    step = opt.export_step if opt.export_step is not None else mgr.latest_step()
+    sub = mgr.restore_fields(
+        {
+            "g_params": g_tmpl["params"],
+            "batch_stats": g_tmpl.get("batch_stats", {}),
+            "d_params": d_tmpl["params"],
+        },
+        step=step,
+    )
     mgr.close()
-    print(f"restored step {int(state.step)} (epoch cursor {epoch})")
+    print(f"restored step {step}")
+    state = SimpleNamespace(
+        g_params=sub["g_params"],
+        batch_stats=sub["batch_stats"],
+        d_params=sub["d_params"],
+    )
     for path in export_state_to_pth(state, generator, opt, opt.export_dir,
                                     opt.which_epoch):
         print(f"wrote {path}")

@@ -41,6 +41,26 @@ class CheckpointManager:
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
 
+    def restore_fields(self, fields: dict, step: Optional[int] = None) -> dict:
+        """Partial restore of selected ``GANTrainState`` fields (e.g.
+        ``{"g_params": tmpl, "batch_stats": tmpl}``).
+
+        Inference/export only needs weights; a FULL-state template would
+        have to reproduce the exact optax optimizer-state STRUCTURE the
+        training run used (which depends on --freeze_*/--niter_fix_global
+        masking) — a structure mismatch makes orbax refuse the restore.
+        Restoring just the requested subtrees sidesteps that entirely."""
+        step = step if step is not None else self._mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint under {self.directory}")
+        out = self._mgr.restore(
+            step,
+            args=ocp.args.PyTreeRestore(
+                item={"state": fields}, partial_restore=True
+            ),
+        )
+        return out["state"]
+
     def restore(
         self, template: GANTrainState, step: Optional[int] = None
     ) -> Tuple[GANTrainState, int, int]:

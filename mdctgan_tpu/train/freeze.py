@@ -10,12 +10,12 @@ import flax.traverse_util as traverse
 import optax
 
 
-_GLOBAL_DOWN = ("stem", "down")
-_GLOBAL_UP = ("res", "attn", "up", "head")
-
-
-def _top(path) -> str:
-    return path[0]
+# The reference freezes by layer class (networks.py:271-283): freeze_global_d
+# toggles every Conv2d/ConvResBlock — the stem, the downsample convs, AND the
+# final head conv — while freeze_global_u toggles the upsample/resblock/attn
+# classes.  "head" therefore belongs to the down group, not the up group.
+_GLOBAL_DOWN = ("stem", "down", "head")
+_GLOBAL_UP = ("res", "attn", "up")
 
 
 def param_labels(

@@ -29,22 +29,25 @@ def load_generator_vars(opt, generator, cfg) -> Dict:
         print(f"imported pretrained G from {g_path}")
         return {"params": params, "batch_stats": stats}
 
-    # orbax checkpoint directory produced by our train.py; the template must
-    # match the saved opt-state STRUCTURE, so build the optimizers the same
-    # way train.py does (steps_per_epoch only affects schedule values).
-    from mdctgan_tpu.models.discriminator import build_discriminator
-    from mdctgan_tpu.train.schedule import make_optimizers
-    from mdctgan_tpu.train.state import create_train_state
+    # orbax checkpoint directory produced by our train.py.  Restore ONLY the
+    # generator weights: a full-state template would have to reproduce the
+    # optax optimizer-state structure of the training run (which varies with
+    # --freeze_*/--niter_fix_global masking) — a partial restore is
+    # structure-agnostic.
+    import jax.numpy as jnp
 
-    g_tx, d_tx = make_optimizers(opt.lr, opt.beta1, opt.niter, opt.niter_decay, 1)
-    tmpl = create_train_state(
-        jax.random.PRNGKey(0), generator, build_discriminator(opt),
-        g_tx, d_tx,
-        spectro_shape=(cfg.n_bins, cfg.n_fft // 2),
-        g_in_channels=opt.input_nc,
-        d_in_channels=opt.input_nc + opt.output_nc,
+    tmpl_vars = generator.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, cfg.n_bins, cfg.n_fft // 2, opt.input_nc)),
+        train=False,
     )
     mgr = ckpt_mod.CheckpointManager(os.path.join(opt.load_pretrain, "ckpt"))
-    state, _, _ = mgr.restore(tmpl)
+    sub = mgr.restore_fields(
+        {
+            "g_params": tmpl_vars["params"],
+            "batch_stats": tmpl_vars.get("batch_stats", {}),
+        }
+    )
+    mgr.close()
     print(f"restored orbax checkpoint from {opt.load_pretrain}")
-    return {"params": state.g_params, "batch_stats": state.batch_stats}
+    return {"params": sub["g_params"], "batch_stats": sub["batch_stats"]}

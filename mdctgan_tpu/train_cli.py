@@ -312,9 +312,13 @@ def main() -> None:
             if fix_global and epoch >= opt.niter_fix_global:
                 fix_global = False
                 print("------------- Now also finetuning global generator -----------")
-                state = state.replace(g_opt_state=g_tx.init(state.g_params))
+                # g_optimizer(False), not bare g_tx: with --freeze_* flags the
+                # post-unfreeze optimizer is still masked, and its state
+                # structure (MultiTransformState) must match the step's tx.
+                new_g_tx = g_optimizer(False)
+                state = state.replace(g_opt_state=new_g_tx.init(state.g_params))
                 step_fn = build_train_step(
-                    generator, discriminator, transform, g_optimizer(False), d_tx,
+                    generator, discriminator, transform, new_g_tx, d_tx,
                     use_lsgan=not opt.no_lsgan, lambda_feat=opt.lambda_feat,
                     n_layers_d=opt.n_layers_D, num_d=opt.num_D,
                     use_ganfeat=not opt.no_ganFeat_loss, use_pool=pool.enabled,

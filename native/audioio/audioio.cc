@@ -85,7 +85,10 @@ bool read_wav_header(std::FILE* f, WavInfo* info) {
       }
       have_fmt = true;
     } else if (std::memcmp(id, "data", 4) == 0) {
-      if (!have_fmt || info->channels == 0 || info->bits_per_sample == 0)
+      // Byte-aligned samples only; a sub-byte bits_per_sample (e.g. ADPCM
+      // headers) would make the frame size 0 and divide by zero below.
+      if (!have_fmt || info->channels == 0 || info->bits_per_sample == 0 ||
+          info->bits_per_sample % 8 != 0)
         return false;
       info->data_offset = static_cast<uint64_t>(std::ftell(f));
       info->num_frames = size / (info->channels * info->bits_per_sample / 8);
@@ -153,8 +156,11 @@ class Prefetcher {
              int n_threads, int queue_cap, uint64_t seed)
       : files_(std::move(files)),
         segment_frames_(segment_frames),
-        cap_(queue_cap),
+        cap_(queue_cap < 1 ? 1 : static_cast<size_t>(queue_cap)),
         stop_(false) {
+    // At least one worker and one queue slot, or Next() blocks forever (the
+    // reference's nThreads=0 means "load synchronously", not "never load").
+    if (n_threads < 1) n_threads = 1;
     for (int i = 0; i < n_threads; ++i) {
       workers_.emplace_back([this, seed, i] { Work(seed + i); });
     }

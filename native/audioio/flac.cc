@@ -142,7 +142,12 @@ bool DecodeResidual(BitReader* br, uint32_t block_size, uint32_t order,
   int param_bits = method ? 5 : 4;
   uint64_t escape = method ? 31 : 15;
   uint32_t partitions = 1u << po;
-  if ((block_size >> po) == 0 || (block_size % partitions) != 0) return false;
+  // The first partition holds (block_size >> po) - order samples; reject
+  // orders larger than the partition size or the count underflows and the
+  // residual loop would write past `out` (block_size entries).
+  if ((block_size >> po) == 0 || (block_size % partitions) != 0 ||
+      order > (block_size >> po))
+    return false;
   uint32_t idx = order;
   for (uint32_t p = 0; p < partitions; ++p) {
     uint32_t count = (block_size >> po) - (p == 0 ? order : 0);

@@ -32,6 +32,55 @@ def _tiny_opt():
     )
 
 
+def test_partial_restore_ignores_optimizer_structure(tmp_path):
+    """Checkpoints trained with --freeze_*/--niter_fix_global carry a MASKED
+    (multi_transform) optimizer state; weights-only consumers (inference,
+    pth export) must restore regardless via restore_fields (regression: a
+    full-state template raised an orbax structure mismatch)."""
+    import optax
+
+    from mdctgan_tpu.models.discriminator import build_discriminator
+    from mdctgan_tpu.models.generator import build_generator
+    from mdctgan_tpu.options import spectral_config_from_opt
+    from mdctgan_tpu.train.checkpoint import CheckpointManager
+    from mdctgan_tpu.train.freeze import masked_optimizer, param_labels
+    from mdctgan_tpu.train.state import create_train_state
+
+    opt = _tiny_opt()
+    cfg = spectral_config_from_opt(opt)
+    gen = build_generator(opt)
+    g_tx = masked_optimizer(
+        optax.adam(2e-4), lambda p: param_labels(p, fix_global=True)
+    )
+    state = create_train_state(
+        jax.random.PRNGKey(0), gen, build_discriminator(opt),
+        g_tx, optax.adam(2e-4),
+        spectro_shape=(cfg.n_bins, cfg.n_fft // 2),
+        g_in_channels=opt.input_nc,
+        d_in_channels=opt.input_nc + opt.output_nc,
+    )
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save(state, epoch=1)
+    mgr.wait()
+    mgr.close()
+    g_tmpl = gen.init(
+        jax.random.PRNGKey(1),
+        jnp.zeros((1, cfg.n_bins, cfg.n_fft // 2, opt.input_nc)),
+        train=False,
+    )
+    # fresh manager, like the real inference/export processes (one orbax
+    # manager instance cannot mix Standard save and PyTree restore handlers)
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    sub = mgr.restore_fields(
+        {"g_params": g_tmpl["params"],
+         "batch_stats": g_tmpl.get("batch_stats", {})}
+    )
+    mgr.close()
+    for a, b in zip(jax.tree.leaves(sub["g_params"]),
+                    jax.tree.leaves(state.g_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_export_pth_roundtrip(tmp_path):
     from mdctgan_tpu.export_torch_cli import export_state_to_pth
     from mdctgan_tpu.models.discriminator import build_discriminator
