@@ -37,6 +37,14 @@ from mdctgan_tpu.options import TrainOptions, spectral_config_from_opt, use_fuse
 from mdctgan_tpu.train.restore import load_generator_vars
 from mdctgan_tpu.train.step import build_inference_fn
 
+
+class AudioLoadError(RuntimeError):
+    """A corrupt/unreadable input file — distinct from device/compile
+    RuntimeErrors (jax's XlaRuntimeError subclasses RuntimeError), which
+    must propagate instead of being reported as 'load audio failed' or
+    silently skipped in batch mode."""
+
+
 def _expand_dataroot(dataroot: str):
     """Returns (paths, batch_mode).  A directory or .csv/.txt index selects
     batch mode (even for a one-file corpus — the output contract must not
@@ -58,8 +66,8 @@ def _process_file(path, opt, cfg, transform, infer, g_vars):
     Returns (sr, lr, hr, metrics dict)."""
     try:
         ds = AudioTestDataset(path, cfg.segment_length, overlap=opt.gen_overlap)
-    except Exception:
-        raise RuntimeError(f"load audio failed: {path}")
+    except Exception as e:
+        raise AudioLoadError(f"load audio failed: {path}") from e
     raw = jnp.asarray(ds.raw_audio)[None]
     print(f"Audio length: {ds.audio_len}")
     if opt.is_lr_input:
@@ -147,7 +155,7 @@ def main() -> None:
             sr, lr, hr, in_sr, m = _process_file(
                 paths[0], opt, cfg, transform, infer, g_vars
             )
-        except RuntimeError:
+        except AudioLoadError:
             # reference behavior: print and exit (audio_dataset.py:149-151)
             raise SystemExit("load audio failed")
         with open(os.path.join(expr_dir, "metric.txt"), "w") as f:
@@ -173,7 +181,7 @@ def main() -> None:
             sr, _, _, _, m = _process_file(
                 path, opt, cfg, transform, infer, g_vars
             )
-        except RuntimeError as e:
+        except AudioLoadError as e:
             print(f"[batch] skipping: {e}")
             continue
         stem = os.path.splitext(os.path.basename(path))[0]

@@ -21,7 +21,10 @@ def gan_loss(preds: List[List[Array]], target_is_real: bool, use_lsgan: bool = T
     target = 1.0 if target_is_real else 0.0
     total = 0.0
     for scale in preds:
-        pred = scale[-1]
+        # patch logits may be bf16 under the fp16 policy; reduce in f32 so
+        # the loss scalar keeps full precision (losses stay f32, like
+        # feature_matching_loss below)
+        pred = scale[-1].astype(jnp.float32)
         if use_lsgan:
             total = total + jnp.mean((pred - target) ** 2)
         else:

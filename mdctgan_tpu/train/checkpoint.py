@@ -61,6 +61,36 @@ class CheckpointManager:
         )
         return out["state"]
 
+    def peek_cursor(
+        self, step: Optional[int] = None
+    ) -> Optional[Tuple[int, int]]:
+        """(epoch, epoch_iter) of a checkpoint WITHOUT restoring the state.
+
+        The full-state restore template depends on the optimizer masking in
+        effect when the checkpoint was written (--niter_fix_global unfreezes
+        mid-run), which itself depends on the saved epoch — so the cursor
+        must be readable first.  Returns None when no checkpoint exists.
+
+        Uses a throwaway manager: orbax pins an item's handler to the FIRST
+        args class used on a manager instance, and mixing this PyTreeRestore
+        with the later StandardRestore on ``self._mgr`` would conflict."""
+        step = step if step is not None else self._mgr.latest_step()
+        if step is None:
+            return None
+        peek_mgr = ocp.CheckpointManager(self.directory)
+        try:
+            out = peek_mgr.restore(
+                step,
+                args=ocp.args.PyTreeRestore(
+                    item={"cursor": {"epoch": 0, "epoch_iter": 0}},
+                    partial_restore=True,
+                ),
+            )
+        finally:
+            peek_mgr.close()
+        cur = out["cursor"]
+        return int(cur["epoch"]), int(cur["epoch_iter"])
+
     def restore(
         self, template: GANTrainState, step: Optional[int] = None
     ) -> Tuple[GANTrainState, int, int]:

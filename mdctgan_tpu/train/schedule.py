@@ -9,6 +9,7 @@ mutation, no recompiles.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import optax
 
@@ -50,3 +51,34 @@ def make_optimizers(
         g_tx = optax.MultiSteps(g_tx, every_k_schedule=accum)
         d_tx = optax.MultiSteps(d_tx, every_k_schedule=accum)
     return g_tx, d_tx
+
+
+def carry_schedule_count(old_opt_state, new_opt_state):
+    """Transplant the LR-schedule position across an optimizer re-init.
+
+    The reference's ``update_fixed_params`` builds a fresh Adam, but its
+    epoch-linear decay keeps counting epochs from the start of training
+    (train.py:257-262 calls update_fixed_params and then
+    pix2pixHD_model.py:664-673 update_learning_rate on the SAME epoch
+    counter).  Here the decay lives in the optax ``ScaleByScheduleState``
+    count, so a bare ``tx.init`` would restart the schedule at 0 and delay
+    the decay by however many epochs had already run.  Copy the old count
+    into every ScaleByScheduleState of the fresh state; Adam moments and
+    bias-correction stay fresh, matching the reference's new Adam.
+    """
+
+    def is_sched(x):
+        return isinstance(x, optax.ScaleByScheduleState)
+
+    counts = [
+        s.count
+        for s in jax.tree.leaves(old_opt_state, is_leaf=is_sched)
+        if is_sched(s)
+    ]
+    if not counts:
+        return new_opt_state
+    return jax.tree.map(
+        lambda s: s._replace(count=counts[0]) if is_sched(s) else s,
+        new_opt_state,
+        is_leaf=is_sched,
+    )

@@ -34,7 +34,7 @@ from mdctgan_tpu.parallel.mesh import make_mesh, replicate
 from mdctgan_tpu.train import checkpoint as ckpt_mod
 from mdctgan_tpu.train import import_torch
 from mdctgan_tpu.train.freeze import masked_optimizer, param_labels
-from mdctgan_tpu.train.schedule import make_optimizers
+from mdctgan_tpu.train.schedule import carry_schedule_count, make_optimizers
 from mdctgan_tpu.train.state import create_train_state
 from mdctgan_tpu.train.step import build_inference_fn, build_train_step
 from mdctgan_tpu.utils import ImagePool, Visualizer
@@ -124,6 +124,16 @@ def main() -> None:
         return masked_optimizer(g_tx, labeler)
 
     fix_global = opt.niter_fix_global > 0
+    mgr = ckpt_mod.CheckpointManager(os.path.join(expr_dir, "ckpt"))
+    if opt.continue_train and fix_global:
+        # The restore template must reproduce the optax state STRUCTURE the
+        # checkpoint was written with.  A checkpoint saved after the in-run
+        # unfreeze (cursor epoch > niter_fix_global) holds the UNMASKED G
+        # optimizer; restoring it against a masked template makes orbax
+        # refuse the restore.  Read the cursor first and match.
+        cursor = mgr.peek_cursor()
+        if cursor is not None and cursor[0] > opt.niter_fix_global:
+            fix_global = False
     state = create_train_state(
         jax.random.PRNGKey(opt.seed), generator, discriminator,
         g_optimizer(fix_global), d_tx,
@@ -135,7 +145,6 @@ def main() -> None:
 
     # resume / pretrain (train.py:35-43; pix2pixHD_model.py:272-290)
     start_epoch, epoch_iter = 1, 0
-    mgr = ckpt_mod.CheckpointManager(os.path.join(expr_dir, "ckpt"))
     if opt.continue_train:
         try:
             state, start_epoch, epoch_iter = mgr.restore(state)
@@ -199,11 +208,19 @@ def main() -> None:
         n = min(opt.eval_size, len(eval_ds))
         bs = opt.batchSize
         rows = []
-        for i in range(0, n, bs):
-            hr, sr_rate = eval_ds.sample_batch(min(bs, n - i))
-            hr_j = jnp.asarray(hr)
-            from mdctgan_tpu.ops.resample import degrade_lr, fix_length, resample
+        from mdctgan_tpu.ops.resample import degrade_lr, fix_length, resample
 
+        for i in range(0, n, bs):
+            k = min(bs, n - i)
+            hr, sr_rate = eval_ds.sample_batch(k)
+            if k < bs:
+                # pad the remainder batch to the compiled shape (a new batch
+                # shape would cost a fresh multi-minute remote-TPU compile of
+                # the inference program); metrics below use only the first k
+                hr = np.concatenate(
+                    [hr, np.zeros((bs - k, hr.shape[-1]), hr.dtype)]
+                )
+            hr_j = jnp.asarray(hr)
             hr_dev = fix_length(resample(hr_j, sr_rate, cfg.hr_sampling_rate),
                                 cfg.segment_length)
             lr_dev = fix_length(
@@ -211,7 +228,8 @@ def main() -> None:
                 cfg.segment_length)
             g_vars = {"params": state.g_params, "batch_stats": state.batch_stats}
             _, sr_audio = infer_fn(g_vars, lr_dev)
-            m = compute_metrics(hr_dev, lr_dev, sr_audio[..., : cfg.segment_length],
+            m = compute_metrics(hr_dev[:k], lr_dev[:k],
+                                sr_audio[:k, ..., : cfg.segment_length],
                                 cfg.n_fft, cfg.hop_length, cfg.win_length, cfg.center)
             # one transfer per eval batch (per-value float() pays a tunnel
             # round-trip each); keep m's key ORDER — device_get's pytree
@@ -304,11 +322,11 @@ def main() -> None:
 
             print(f"End of epoch {epoch} / {opt.niter + opt.niter_decay} \t "
                   f"Time Taken: {time.time() - epoch_start:.0f} sec")
-            if epoch % opt.save_epoch_freq == 0:
-                save(epoch + 1, 0)
-                print(f"saved model at end of epoch {epoch}")
             # unfreeze global after niter_fix_global (train.py:257-258):
             # fresh (unmasked) G optimizer, like the reference's new Adam.
+            # Runs BEFORE the epoch-end save so any checkpoint with cursor
+            # epoch > niter_fix_global holds the post-unfreeze optimizer
+            # structure (what the resume template expects).
             if fix_global and epoch >= opt.niter_fix_global:
                 fix_global = False
                 print("------------- Now also finetuning global generator -----------")
@@ -316,13 +334,23 @@ def main() -> None:
                 # post-unfreeze optimizer is still masked, and its state
                 # structure (MultiTransformState) must match the step's tx.
                 new_g_tx = g_optimizer(False)
-                state = state.replace(g_opt_state=new_g_tx.init(state.g_params))
+                # Fresh Adam moments, but keep the LR-schedule position: the
+                # reference's decay counts epochs from the start of training
+                # across the unfreeze (train.py:257-262).
+                state = state.replace(
+                    g_opt_state=carry_schedule_count(
+                        state.g_opt_state, new_g_tx.init(state.g_params)
+                    )
+                )
                 step_fn = build_train_step(
                     generator, discriminator, transform, new_g_tx, d_tx,
                     use_lsgan=not opt.no_lsgan, lambda_feat=opt.lambda_feat,
                     n_layers_d=opt.n_layers_D, num_d=opt.num_D,
                     use_ganfeat=not opt.no_ganFeat_loss, use_pool=pool.enabled,
                 )
+            if epoch % opt.save_epoch_freq == 0:
+                save(epoch + 1, 0)
+                print(f"saved model at end of epoch {epoch}")
     finally:
         if profiling:
             jax.profiler.stop_trace()

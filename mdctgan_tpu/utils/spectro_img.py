@@ -36,17 +36,20 @@ def compute_visuals(
 ) -> Tuple[Optional[np.ndarray], Optional[np.ndarray], Optional[np.ndarray]]:
     """(spectro_img, hist_img, pha_img) RGB uint8 arrays (spectro_img.py:9-29).
 
-    ``spectro`` is a single (F, K) or (K, F) normalized spectrogram; the
-    reference renders pcolormesh of the map, a 100-bin histogram, and the
-    phase map when given.
+    ``spectro`` is a single (F, K) normalized spectrogram in the model's
+    (time, freq) layout; like the reference it is transposed before
+    rendering so frequency runs along the vertical axis.  ``abs_spectro``
+    mirrors the reference's ``abs`` flag (get_current_visuals passes
+    opt.abs_spectro, pix2pixHD_model.py:684-691): the map is rendered as
+    magnitude while the histogram stays on the signed values.
     """
     if not _HAVE_MPL:
         return None, None, None
     spec_img = hist_img = pha_img = None
     if spectro is not None:
-        s = np.asarray(spectro).squeeze()
+        s = np.asarray(spectro).squeeze().T  # reference: sp.transpose()
         fig, ax = plt.subplots(figsize=(6, 4), dpi=80)
-        m = ax.pcolormesh(s.T if s.shape[0] > s.shape[1] else s, cmap="magma")
+        m = ax.pcolormesh(np.abs(s) if abs_spectro else s, cmap="magma")
         fig.colorbar(m, ax=ax)
         spec_img = _fig_to_rgb(fig)
         plt.close(fig)
@@ -56,9 +59,9 @@ def compute_visuals(
         hist_img = _fig_to_rgb(fig)
         plt.close(fig)
     if pha is not None:
-        p = np.asarray(pha).squeeze()
+        p = np.asarray(pha).squeeze().T
         fig, ax = plt.subplots(figsize=(6, 4), dpi=80)
-        m = ax.pcolormesh(p.T if p.shape[0] > p.shape[1] else p, cmap="coolwarm")
+        m = ax.pcolormesh(p, cmap="coolwarm")
         fig.colorbar(m, ax=ax)
         pha_img = _fig_to_rgb(fig)
         plt.close(fig)

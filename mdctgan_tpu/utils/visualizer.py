@@ -29,6 +29,7 @@ class Visualizer:
             opt, "no_html", False
         )
         self.win_size = getattr(opt, "display_winsize", 512)
+        self.abs_spectro = bool(getattr(opt, "abs_spectro", False))
         self.name = opt.name
         self.save_dir = os.path.join(opt.checkpoints_dir, opt.name)
         self._writer = None
@@ -82,7 +83,9 @@ class Visualizer:
         for label, spec in visuals.items():
             if spec is None:
                 continue
-            img, hist, _ = compute_visuals(spectro=np.asarray(spec))
+            img, hist, _ = compute_visuals(
+                spectro=np.asarray(spec), abs_spectro=self.abs_spectro
+            )
             if img is not None:
                 images[label] = img
                 images[f"{label}_hist"] = hist
