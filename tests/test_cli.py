@@ -226,7 +226,9 @@ def test_train_debug_smoke(tmp_path, wav_csv):
         "--num_D", "2", "--n_layers_D", "2", "--ndf", "4",
         "--segment_length", "8128", "--n_fft", "128", "--hop_length", "64",
         "--win_length", "128", "--bins", "128",
-        "--save_latest_freq", "1", "--eval_freq", "1", "--eval_size", "2",
+        # eval_size 3 with batchSize 2 leaves a remainder batch — covers the
+        # zero-pad-to-compiled-shape eval path (no new-shape compile)
+        "--save_latest_freq", "1", "--eval_freq", "1", "--eval_size", "3",
         "--nThreads", "2", "--no_html",
     ])
     assert r.returncode == 0, r.stderr[-3000:]
