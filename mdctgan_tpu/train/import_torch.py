@@ -312,14 +312,45 @@ def _to_np(t) -> np.ndarray:
     return np.asarray(t)
 
 
+def expected_torch_keys(entries: List[Entry]) -> Tuple[List[str], List[str]]:
+    """The torch ``state_dict`` key names a mapping table implies.
+
+    Returns ``(required, optional)``; optional keys are conv biases (BotNet's
+    1x1 convs are bias-free) and BN ``num_batches_tracked`` counters."""
+    req: List[str] = []
+    opt: List[str] = []
+    for prefix, _path, kind in entries:
+        if kind in ("conv", "convT"):
+            req.append(f"{prefix}.weight")
+            opt.append(f"{prefix}.bias")
+        elif kind == "bn":
+            req += [
+                f"{prefix}.weight",
+                f"{prefix}.bias",
+                f"{prefix}.running_mean",
+                f"{prefix}.running_var",
+            ]
+            opt.append(f"{prefix}.num_batches_tracked")
+        elif kind == "posemb":
+            req += [f"{prefix}.height", f"{prefix}.width"]
+        else:
+            raise ValueError(kind)
+    return req, opt
+
+
 def convert_state_dict(
     state_dict: Dict[str, Any], entries: List[Entry]
-) -> Tuple[Dict, Dict, List[str]]:
+) -> Tuple[Dict, Dict, List[str], List[str]]:
     """torch state_dict -> (params flat dict, batch_stats flat dict,
-    unconsumed torch keys)."""
+    unconsumed torch keys, missing required torch keys).
+
+    Entries whose required keys are absent are skipped (recorded in
+    ``missing``) so callers can implement the reference's fuzzy fallbacks
+    (base_model.py:61-111) instead of failing outright."""
     params: Dict[Tuple[str, ...], np.ndarray] = {}
     stats: Dict[Tuple[str, ...], np.ndarray] = {}
     consumed = set()
+    missing: List[str] = []
 
     def take(key: str) -> Optional[np.ndarray]:
         if key in state_dict:
@@ -327,57 +358,190 @@ def convert_state_dict(
             return _to_np(state_dict[key])
         return None
 
-    def require(key: str) -> np.ndarray:
+    def require(key: str) -> Optional[np.ndarray]:
         t = take(key)
         if t is None:
-            raise KeyError(f"missing torch key {key}")
+            missing.append(key)
         return t
 
     for prefix, path, kind in entries:
-        if kind == "conv":
+        if kind in ("conv", "convT"):
             w = require(f"{prefix}.weight")
-            params[path + ("kernel",)] = np.transpose(w, (2, 3, 1, 0))
-            b = take(f"{prefix}.bias")
-            if b is not None:
-                params[path + ("bias",)] = b
-        elif kind == "convT":
-            w = require(f"{prefix}.weight")  # (I, O, kH, kW)
-            # flax ConvTranspose(transpose_kernel=True): kernel (kH,kW,O,I)
-            params[path + ("kernel",)] = np.transpose(w, (2, 3, 1, 0))
+            if w is not None:
+                # conv (O,I,kH,kW) and convT (I,O,kH,kW) both -> (kH,kW,·,·):
+                # flax Conv kernel is (kH,kW,I,O); ConvTranspose with
+                # transpose_kernel=True takes (kH,kW,O,I).
+                params[path + ("kernel",)] = np.transpose(w, (2, 3, 1, 0))
             b = take(f"{prefix}.bias")
             if b is not None:
                 params[path + ("bias",)] = b
         elif kind == "bn":
-            params[path + ("scale",)] = require(f"{prefix}.weight")
-            params[path + ("bias",)] = require(f"{prefix}.bias")
-            stats[path + ("mean",)] = require(f"{prefix}.running_mean")
-            stats[path + ("var",)] = require(f"{prefix}.running_var")
+            w = require(f"{prefix}.weight")
+            b = require(f"{prefix}.bias")
+            m = require(f"{prefix}.running_mean")
+            v = require(f"{prefix}.running_var")
+            if w is not None:
+                params[path + ("scale",)] = w
+            if b is not None:
+                params[path + ("bias",)] = b
+            if m is not None:
+                stats[path + ("mean",)] = m
+            if v is not None:
+                stats[path + ("var",)] = v
             take(f"{prefix}.num_batches_tracked")  # discard
         elif kind == "posemb":
-            params[path + ("height",)] = require(f"{prefix}.height")
-            params[path + ("width",)] = require(f"{prefix}.width")
+            h = require(f"{prefix}.height")
+            w = require(f"{prefix}.width")
+            if h is not None:
+                params[path + ("height",)] = h
+            if w is not None:
+                params[path + ("width",)] = w
         else:
             raise ValueError(kind)
 
     leftover = [k for k in state_dict if k not in consumed]
-    return params, stats, leftover
+    return params, stats, leftover, missing
 
 
-def import_generator(state_dict: Dict[str, Any], gen) -> Tuple[Dict, Dict]:
-    """torch G state_dict -> (params, batch_stats) pytrees for our module."""
+def apply_param_key_map(
+    state_dict: Dict[str, Any],
+    key_map: Dict[str, str],
+    expected: set,
+) -> Dict[str, Any]:
+    """Reference ``--param_key_map`` module renames (base_model.py:74-85):
+    for a torch key whose first two components form ``a.b`` with ``a.b`` in
+    the map, component ``b`` is replaced by ``map["a.b"]``.  Only keys that
+    are not already expected are renamed (the reference renames only
+    unmatched keys)."""
+    if not key_map:
+        return state_dict
+    out: Dict[str, Any] = {}
+    for name, value in state_dict.items():
+        parts = name.split(".")
+        if name not in expected and len(parts) >= 2:
+            key = parts[0] + "." + parts[1]
+            if key in key_map:
+                parts[1] = key_map[key]
+                new = ".".join(parts)
+                print(f"    {name} -> {new}")
+                out[new] = value
+                continue
+        out[name] = value
+    return out
+
+
+def _fuzzy_import(
+    state_dict: Dict[str, Any],
+    entries: List[Entry],
+    what: str,
+    param_key_map: Optional[Dict[str, str]],
+    init_params: Optional[Dict],
+    init_stats: Optional[Dict],
+) -> Tuple[Dict, Dict]:
+    """Strict load, then the reference's fallback ladder
+    (base_model.py:61-111): drop excessive keys -> --param_key_map renames ->
+    keep initialization for still-missing modules (printing size-matched
+    candidates).  Without ``init_params`` a missing key is still an error —
+    there is nothing to fall back on."""
+    req, opt_keys = expected_torch_keys(entries)
+    expected = set(req) | set(opt_keys)
+    flat_p, flat_s, leftover, missing = convert_state_dict(state_dict, entries)
+    if missing and param_key_map:
+        state_dict = apply_param_key_map(state_dict, param_key_map, expected)
+        flat_p, flat_s, leftover, missing = convert_state_dict(state_dict, entries)
+    if missing:
+        if init_params is None:
+            raise ValueError(
+                f"missing torch keys for {what} (arch mismatch?): {missing[:8]}"
+            )
+        print(
+            f"Pretrained network {what} has fewer layers; "
+            "The following layers are possibly matched:"
+        )
+        by_shape: Dict[Tuple[int, ...], List[str]] = {}
+        for k in leftover:
+            by_shape.setdefault(tuple(np.shape(_to_np(state_dict[k]))), []).append(k)
+        for name in missing:
+            for cand in by_shape.get(_expected_shape(name, entries, init_params), []):
+                print(f"     {name} : {cand}")
+    elif leftover:
+        print(
+            f"Pretrained network {what} has excessive layers; "
+            "Only loading layers that are used"
+        )
+    if init_params is not None:
+        base_p = dict(traverse.flatten_dict(init_params))
+        base_p.update(flat_p)
+        flat_p = base_p
+        base_s = dict(traverse.flatten_dict(init_stats or {}))
+        base_s.update(flat_s)
+        flat_s = base_s
+    return (
+        traverse.unflatten_dict(flat_p) if flat_p else {},
+        traverse.unflatten_dict(flat_s) if flat_s else {},
+    )
+
+
+def _expected_shape(
+    torch_key: str, entries: List[Entry], init_params: Dict
+) -> Optional[Tuple[int, ...]]:
+    """Torch-layout shape the model expects at ``torch_key`` (for the
+    reference's size-matched candidate printout)."""
+    flat = traverse.flatten_dict(init_params)
+    for prefix, path, kind in entries:
+        if not torch_key.startswith(prefix + "."):
+            continue
+        leaf = torch_key[len(prefix) + 1:]
+        if kind in ("conv", "convT") and leaf == "weight":
+            k = flat.get(path + ("kernel",))
+            if k is not None:
+                s = np.shape(k)
+                return (s[3], s[2], s[0], s[1])
+        elif kind == "bn":
+            name = {"weight": "scale", "bias": "bias"}.get(leaf)
+            if name is not None:
+                v = flat.get(path + (name,))
+                return tuple(np.shape(v)) if v is not None else None
+        elif kind == "posemb" and leaf in ("height", "width"):
+            v = flat.get(path + (leaf,))
+            return tuple(np.shape(v)) if v is not None else None
+    return None
+
+
+def import_generator(
+    state_dict: Dict[str, Any],
+    gen,
+    *,
+    param_key_map: Optional[Dict[str, str]] = None,
+    init_vars: Optional[Dict] = None,
+) -> Tuple[Dict, Dict]:
+    """torch G state_dict -> (params, batch_stats) pytrees for our module.
+
+    ``init_vars`` (a ``{"params", "batch_stats"}`` template from
+    ``Module.init``) enables the reference's fuzzy fallback ladder; without
+    it any missing key raises.  Extra torch keys are dropped with a warning
+    either way (reference base_model.py:67-70)."""
     entries = generator_entries_for(gen)
-    flat_p, flat_s, leftover = convert_state_dict(state_dict, entries)
-    if leftover:
-        raise ValueError(f"unconsumed torch keys (arch mismatch?): {leftover[:8]}")
-    return traverse.unflatten_dict(flat_p), traverse.unflatten_dict(flat_s)
+    return _fuzzy_import(
+        state_dict, entries, "G", param_key_map,
+        None if init_vars is None else init_vars.get("params"),
+        None if init_vars is None else init_vars.get("batch_stats", {}),
+    )
 
 
-def import_discriminator(state_dict: Dict[str, Any], num_d: int, n_layers: int) -> Dict:
+def import_discriminator(
+    state_dict: Dict[str, Any],
+    num_d: int,
+    n_layers: int,
+    *,
+    param_key_map: Optional[Dict[str, str]] = None,
+    init_params: Optional[Dict] = None,
+) -> Dict:
     entries = discriminator_entries(num_d, n_layers)
-    flat_p, _, leftover = convert_state_dict(state_dict, entries)
-    if leftover:
-        raise ValueError(f"unconsumed torch keys (arch mismatch?): {leftover[:8]}")
-    return traverse.unflatten_dict(flat_p)
+    params, _ = _fuzzy_import(
+        state_dict, entries, "D", param_key_map, init_params, None
+    )
+    return params
 
 
 def export_to_torch_keys(params: Dict, batch_stats: Dict, entries: List[Entry]) -> Dict[str, np.ndarray]:

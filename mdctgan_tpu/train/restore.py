@@ -24,8 +24,21 @@ def load_generator_vars(opt, generator, cfg) -> Dict:
         raise SystemExit("--load_pretrain is required (no weights to run)")
     g_path = os.path.join(opt.load_pretrain, f"{opt.which_epoch}_net_G.pth")
     if os.path.exists(g_path):
+        import jax.numpy as jnp
+
         sd = import_torch.load_pth(g_path)
-        params, stats = import_torch.import_generator(sd, generator)
+        # init template enables the reference's fuzzy fallback ladder
+        # (base_model.py:61-111): intersection load + --param_key_map renames
+        tmpl = generator.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, cfg.n_bins, cfg.n_fft // 2, opt.input_nc)),
+            train=False,
+        )
+        params, stats = import_torch.import_generator(
+            sd, generator,
+            param_key_map=getattr(opt, "param_key_map", None) or None,
+            init_vars=tmpl,
+        )
         print(f"imported pretrained G from {g_path}")
         return {"params": params, "batch_stats": stats}
 

@@ -176,7 +176,11 @@ def test_discriminator_export_import_roundtrip():
     _tree_allclose(v["params"], params)
 
 
-def test_import_rejects_arch_mismatch():
+# --------------------------------------------------------------------------
+# fuzzy fallback ladder (reference base_model.py:61-111)
+# --------------------------------------------------------------------------
+
+def _small_global():
     from mdctgan_tpu.models.generator import GlobalGenerator
 
     gen = GlobalGenerator(
@@ -186,6 +190,59 @@ def test_import_rejects_arch_mismatch():
     v = gen.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 2)), train=False)
     entries = import_torch.generator_entries_for(gen)
     sd = import_torch.export_to_torch_keys(v["params"], {}, entries)
+    return gen, v, sd
+
+
+def test_import_drops_excessive_keys(capsys):
+    # reference base_model.py:66-70: pretrained with EXTRA keys loads via
+    # key intersection ("excessive layers") instead of failing
+    gen, v, sd = _small_global()
     sd["model.999.weight"] = np.zeros((1, 1, 1, 1), np.float32)
-    with pytest.raises(ValueError, match="unconsumed"):
+    params, _ = import_torch.import_generator(sd, gen)
+    _tree_allclose(v["params"], params)
+    assert "excessive layers" in capsys.readouterr().out
+
+
+def test_import_missing_key_raises_without_init():
+    gen, v, sd = _small_global()
+    del sd["model.1.weight"]
+    with pytest.raises(ValueError, match="missing"):
         import_torch.import_generator(sd, gen)
+
+
+def test_import_missing_key_falls_back_to_init(capsys):
+    # reference base_model.py:71-111: "fewer layers" keeps the net's own
+    # init for unmatched modules and prints size-matched candidates
+    gen, v, sd = _small_global()
+    stray = sd.pop("model.1.weight")
+    sd["model.777.weight"] = stray  # same-shaped stray key -> candidate line
+    params, _ = import_torch.import_generator(sd, gen, init_vars=v)
+    out = capsys.readouterr().out
+    assert "fewer layers" in out
+    assert "model.1.weight : model.777.weight" in out
+    # the missing stem conv fell back to the init values
+    np.testing.assert_allclose(
+        np.asarray(params["stem"]["conv"]["kernel"]),
+        np.asarray(v["params"]["stem"]["conv"]["kernel"]),
+    )
+    # everything else imported
+    np.testing.assert_allclose(
+        np.asarray(params["head"]["conv"]["kernel"]),
+        np.asarray(v["params"]["head"]["conv"]["kernel"]),
+    )
+
+
+def test_import_param_key_map_renames():
+    # reference base_model.py:74-85: --param_key_map a.b:c renames module
+    # index b -> c for keys that do not match the model
+    gen, v, sd = _small_global()
+    renamed = {
+        (k.replace("model.1.", "model.901.") if k.startswith("model.1.") else k): v2
+        for k, v2 in sd.items()
+    }
+    with pytest.raises(ValueError, match="missing"):
+        import_torch.import_generator(renamed, gen)
+    params, _ = import_torch.import_generator(
+        renamed, gen, param_key_map={"model.901": "1"}
+    )
+    _tree_allclose(v["params"], params)

@@ -1,0 +1,476 @@
+"""Gold validation of the torch-checkpoint importer.
+
+The round-trip tests in test_import.py validate the mapping table only
+against its own inverse — an index-replay mistake in the ``_Seq`` simulation
+would be invisible there.  This file closes that hole by replaying the
+reference's ACTUAL ``nn.Sequential`` construction with stock torch modules
+(test oracle transcribed from /root/reference/models/networks.py:173-247
+LocalEnhancer, :301-353 GlobalGenerator, :375-463 blocks, :507-550,:641-692
+discriminators, and the pinned ``bottleneck_transformer_pytorch==0.1.4``
+module layout) and asserting:
+
+  * key-set equality — the importer's expected torch key set equals the real
+    ``state_dict().keys()`` for the flagship train.sh config and for
+    configs exercising every structural branch (local attention w/ shared
+    modules + shortcut, transconv/conv, global w/ head);
+  * whole-model forward parity — the torch forward equals the flax forward
+    on imported weights (eval mode, randomized params AND running stats).
+"""
+
+import numpy as np
+import pytest
+
+jnp = pytest.importorskip("jax.numpy")
+import jax  # noqa: E402
+import torch  # noqa: E402
+import torch.nn as nn  # noqa: E402
+from torch.nn.functional import interpolate  # noqa: E402
+
+from mdctgan_tpu.train import import_torch  # noqa: E402
+
+
+# --------------------------------------------------------------------------
+# Stock-torch replicas of the reference construction (test oracles)
+# --------------------------------------------------------------------------
+
+def _pair(x):
+    return x if isinstance(x, tuple) else (x, x)
+
+
+class AbsPosEmb(nn.Module):
+    """bottleneck_transformer_pytorch 0.1.4 AbsPosEmb: factored 2-D absolute
+    positional embedding, parameters ``height``/``width``."""
+
+    def __init__(self, fmap_size, dim_head):
+        super().__init__()
+        h, w = _pair(fmap_size)
+        scale = dim_head ** -0.5
+        self.height = nn.Parameter(torch.randn(h, dim_head) * scale)
+        self.width = nn.Parameter(torch.randn(w, dim_head) * scale)
+
+    def forward(self, q):
+        emb = self.height[:, None, :] + self.width[None, :, :]
+        emb = emb.reshape(-1, emb.shape[-1])
+        return torch.einsum("bhid,jd->bhij", q, emb)
+
+
+class BotAttention(nn.Module):
+    """0.1.4 Attention: 1x1 qkv conv (no bias), scaled dot-product with the
+    positional logits added, softmax, heads re-fused into channels."""
+
+    def __init__(self, dim, fmap_size, heads, dim_head):
+        super().__init__()
+        self.heads, self.dim_head = heads, dim_head
+        self.scale = dim_head ** -0.5
+        self.to_qkv = nn.Conv2d(dim, heads * dim_head * 3, 1, bias=False)
+        self.pos_emb = AbsPosEmb(fmap_size, dim_head)
+
+    def forward(self, x):
+        b, _, h, w = x.shape
+        qkv = self.to_qkv(x).reshape(b, 3, self.heads, self.dim_head, h * w)
+        q, k, v = (qkv[:, i].permute(0, 1, 3, 2) for i in range(3))
+        q = q * self.scale
+        sim = torch.einsum("bhid,bhjd->bhij", q, k) + self.pos_emb(q)
+        out = torch.einsum("bhij,bhjd->bhid", sim.softmax(dim=-1), v)
+        out = out.permute(0, 1, 3, 2).reshape(b, self.heads * self.dim_head, h, w)
+        return out
+
+
+class BottleBlock(nn.Module):
+    """0.1.4 BottleBlock with downsample=False: optional conv shortcut, and
+    net = [conv1x1, BN, act, attn, Identity, BN, act, conv1x1, BN]."""
+
+    def __init__(self, dim, fmap_size, dim_out, proj_factor, heads, dim_head):
+        super().__init__()
+        if dim != dim_out:
+            self.shortcut = nn.Sequential(
+                nn.Conv2d(dim, dim_out, 1, bias=False),
+                nn.BatchNorm2d(dim_out),
+                nn.ReLU(True),
+            )
+        else:
+            self.shortcut = nn.Identity()
+        attn_dim_in = dim_out // proj_factor
+        attn_dim_out = heads * dim_head
+        self.net = nn.Sequential(
+            nn.Conv2d(dim, attn_dim_in, 1, bias=False),
+            nn.BatchNorm2d(attn_dim_in),
+            nn.ReLU(True),
+            BotAttention(attn_dim_in, fmap_size, heads, dim_head),
+            nn.Identity(),
+            nn.BatchNorm2d(attn_dim_out),
+            nn.ReLU(True),
+            nn.Conv2d(attn_dim_out, dim_out, 1, bias=False),
+            nn.BatchNorm2d(dim_out),
+        )
+        self.activation = nn.ReLU(True)
+
+    def forward(self, x):
+        return self.activation(self.net(x) + self.shortcut(x))
+
+
+class BottleStack(nn.Module):
+    def __init__(self, dim, fmap_size, dim_out, num_layers, proj_factor,
+                 heads, dim_head):
+        super().__init__()
+        layers = []
+        for i in range(num_layers):
+            layers.append(BottleBlock(
+                dim if i == 0 else dim_out, _pair(fmap_size), dim_out,
+                proj_factor, heads, dim_head,
+            ))
+        self.net = nn.Sequential(*layers)
+
+    def forward(self, x):
+        return self.net(x)
+
+
+class ConvResBlock(nn.Module):
+    """networks.py:403-417."""
+
+    def __init__(self, in_channels, out_channels, kernel_size, stride, padding):
+        super().__init__()
+        self.conv1 = nn.Conv2d(in_channels, in_channels, kernel_size, stride,
+                               padding)
+        self.conv2 = nn.Conv2d(in_channels, out_channels, 5, padding=2)
+        self.conv_res = nn.Conv2d(in_channels, out_channels, 3, 1, 1)
+
+    def forward(self, x):
+        x = self.conv1(x)
+        return self.conv2(x) + self.conv_res(x)
+
+
+class InterpolateUpsample(nn.Module):
+    """networks.py:375-400 (note the odd paddings: 5x5 pad 1, 3x3 pad 2)."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__()
+        in_c, out_c = kwargs["in_channels"], kwargs["out_channels"]
+        self.conv1 = nn.Conv2d(in_c, out_c, 5, padding=1)
+        self.conv2 = nn.Conv2d(out_c, out_c, 3, padding=2)
+        self.conv_res = nn.Conv2d(in_c, out_c, 3, padding=1)
+
+    def forward(self, x):
+        x = interpolate(x, scale_factor=2.0, mode="nearest")
+        return self.conv2(self.conv1(x)) + self.conv_res(x)
+
+
+class ResnetBlock(nn.Module):
+    """networks.py:421-463, padding_type='reflect'."""
+
+    def __init__(self, dim, norm_layer):
+        super().__init__()
+        self.conv_block = nn.Sequential(
+            nn.ReflectionPad2d(1), nn.Conv2d(dim, dim, 3), norm_layer(dim),
+            nn.ReLU(True),
+            nn.ReflectionPad2d(1), nn.Conv2d(dim, dim, 3), norm_layer(dim),
+        )
+
+    def forward(self, x):
+        return x + self.conv_block(x)
+
+
+def _norm():
+    return nn.InstanceNorm2d  # affine=False default (networks.py:26)
+
+
+def _layers(downsample_type, upsample_type):
+    down = nn.Conv2d if downsample_type == "conv" else ConvResBlock
+    up = nn.ConvTranspose2d if upsample_type == "transconv" else InterpolateUpsample
+    return down, up
+
+
+def build_global_list(input_nc, output_nc, ngf, n_downsampling, n_blocks,
+                      n_attn_g, input_size, proj_factor, heads, dim_head,
+                      downsample_type, upsample_type):
+    """Replay GlobalGenerator.__init__ (networks.py:301-353)."""
+    norm_layer = _norm()
+    downsample_layer, upsample_layer = _layers(downsample_type, upsample_type)
+    model = [nn.ReflectionPad2d(3), nn.Conv2d(input_nc, ngf, 7),
+             norm_layer(ngf), nn.ReLU(True)]
+    for i in range(n_downsampling):
+        mult = 2 ** i
+        model += [downsample_layer(ngf * mult, ngf * mult * 2, kernel_size=3,
+                                   stride=2, padding=1),
+                  norm_layer(ngf * mult * 2), nn.ReLU(True)]
+    mult = 2 ** n_downsampling
+    bottle_neck = [ResnetBlock(ngf * mult, norm_layer) for _ in range(n_blocks)]
+    if n_attn_g > 0:
+        fmap = tuple(s // mult for s in input_size)
+        bottle_neck.insert(
+            n_blocks // 2,
+            BottleStack(ngf * mult, fmap, ngf * mult, n_attn_g, proj_factor,
+                        heads, dim_head),
+        )
+    model += bottle_neck
+    for i in range(n_downsampling):
+        mult = 2 ** (n_downsampling - i)
+        model += [upsample_layer(in_channels=ngf * mult,
+                                 out_channels=ngf * mult // 2, kernel_size=3,
+                                 stride=2, padding=1, output_padding=1),
+                  norm_layer(ngf * mult // 2), nn.ReLU(True)]
+    model += [nn.ReflectionPad2d(3), nn.Conv2d(ngf, output_nc, 7), nn.Tanh()]
+    return model
+
+
+class TorchGlobalGenerator(nn.Module):
+    def __init__(self, **kw):
+        super().__init__()
+        self.model = nn.Sequential(*build_global_list(**kw))
+
+    def forward(self, x):
+        return self.model(x)
+
+
+class TorchLocalEnhancer(nn.Module):
+    """Replay LocalEnhancer.__init__ (networks.py:173-251), incl. the shared
+    modules built by list multiplication (``[layer, norm, relu]*k``)."""
+
+    def __init__(self, input_nc, output_nc, ngf, n_downsample_global,
+                 n_blocks_global, n_blocks_local, n_attn_g, n_attn_l,
+                 input_size, proj_factor_g, heads_g, dim_head_g,
+                 proj_factor_l, heads_l, dim_head_l,
+                 downsample_type, upsample_type):
+        super().__init__()
+        norm_layer = _norm()
+        downsample_layer, upsample_layer = _layers(downsample_type, upsample_type)
+        ngf_global = ngf * 2
+        model_global = build_global_list(
+            input_nc, output_nc, ngf_global, n_downsample_global,
+            n_blocks_global, n_attn_g,
+            tuple(s // 2 for s in input_size), proj_factor_g, heads_g,
+            dim_head_g, downsample_type, upsample_type,
+        )
+        self.model = nn.Sequential(
+            *[model_global[i] for i in range(len(model_global) - 3)]
+        )
+
+        ngf_global = ngf
+        model_downsample = [
+            nn.ReflectionPad2d(3), nn.Conv2d(input_nc, ngf_global, 7),
+            norm_layer(ngf_global), nn.ReLU(True),
+            downsample_layer(ngf_global, ngf_global * 2, kernel_size=3,
+                             stride=2, padding=1),
+            norm_layer(ngf_global * 2), nn.ReLU(True),
+        ]
+        model_upsample = [ResnetBlock(ngf_global * 2, norm_layer)
+                          for _ in range(n_blocks_local)]
+        if n_attn_l > 0:
+            middle = n_blocks_local // 2
+            down = [downsample_layer(ngf_global * 2, ngf_global, kernel_size=3,
+                                     stride=2, padding=1),
+                    norm_layer(ngf_global), nn.ReLU(True)]
+            down += [downsample_layer(ngf_global, ngf_global, kernel_size=3,
+                                      stride=2, padding=1),
+                     norm_layer(ngf_global), nn.ReLU(True)] * 2  # SHARED
+            model_upsample.insert(middle, nn.Sequential(*down))
+            fmap = tuple(s // 16 for s in input_size)
+            model_upsample.insert(
+                middle + 1,
+                BottleStack(ngf_global, fmap, ngf_global * 2, n_attn_l,
+                            proj_factor_l, heads_l, dim_head_l),
+            )
+            model_upsample += [
+                upsample_layer(in_channels=ngf_global * 2,
+                               out_channels=ngf_global * 2, kernel_size=3,
+                               stride=2, padding=1, output_padding=1),
+                norm_layer(ngf_global), nn.ReLU(True),
+            ] * 3  # SHARED
+        model_upsample += [
+            upsample_layer(in_channels=ngf_global * 2, out_channels=ngf_global,
+                           kernel_size=3, stride=2, padding=1,
+                           output_padding=1),
+            norm_layer(ngf_global), nn.ReLU(True),
+            nn.ReflectionPad2d(3), nn.Conv2d(ngf, output_nc, 7), nn.Tanh(),
+        ]
+        self.model1_1 = nn.Sequential(*model_downsample)
+        self.model1_2 = nn.Sequential(*model_upsample)
+        self.downsample = nn.AvgPool2d(3, stride=2, padding=[1, 1],
+                                       count_include_pad=False)
+
+    def forward(self, x):
+        pooled = self.downsample(x)
+        return self.model1_2(self.model1_1(x) + self.model(pooled))
+
+
+def build_torch_discriminator(input_nc, ndf, n_layers, num_D):
+    """Replay MultiscaleDiscriminator with getIntermFeat (networks.py:507-523,
+    641-680): per-scale layer groups bound as scale{i}_layer{j}."""
+    norm_layer = _norm()
+    holder = nn.Module()
+    kw, padw = 4, 2
+    for i in range(num_D):
+        sequence = [[nn.Conv2d(input_nc, ndf, kw, 2, padw),
+                     nn.LeakyReLU(0.2, True)]]
+        nf = ndf
+        for n in range(1, n_layers):
+            nf_prev, nf = nf, min(nf * 2, 512)
+            sequence += [[nn.Conv2d(nf_prev, nf, kw, 2, padw), norm_layer(nf),
+                          nn.LeakyReLU(0.2, True)]]
+        nf_prev, nf = nf, min(nf * 2, 512)
+        sequence += [[nn.Conv2d(nf_prev, nf, kw, 1, padw), norm_layer(nf),
+                      nn.LeakyReLU(0.2, True)]]
+        sequence += [[nn.Conv2d(nf, 1, kw, 1, padw)]]
+        for j in range(n_layers + 2):
+            setattr(holder, f"scale{i}_layer{j}", nn.Sequential(*sequence[j]))
+    return holder
+
+
+# --------------------------------------------------------------------------
+# Configs under test
+# --------------------------------------------------------------------------
+
+FLAGSHIP_LOCAL = dict(  # train.sh:3-17 (the shipped config of record)
+    input_nc=2, output_nc=1, ngf=56, n_downsample_global=3, n_blocks_global=4,
+    n_blocks_local=3, n_attn_g=3, n_attn_l=0, input_size=(128, 256),
+    proj_factor_g=4, heads_g=6, dim_head_g=128,
+    proj_factor_l=4, heads_l=4, dim_head_l=128,
+    downsample_type="resconv", upsample_type="interpolate",
+)
+SMALL_LOCAL_BOTH_ATTN = dict(  # exercises shared modules + BotNet shortcut
+    input_nc=2, output_nc=1, ngf=4, n_downsample_global=2, n_blocks_global=2,
+    n_blocks_local=3, n_attn_g=1, n_attn_l=1, input_size=(64, 128),
+    proj_factor_g=4, heads_g=2, dim_head_g=4,
+    proj_factor_l=2, heads_l=2, dim_head_l=4,
+    downsample_type="resconv", upsample_type="interpolate",
+)
+SMALL_GLOBAL = dict(  # conv/transconv variant with the tanh head
+    input_nc=2, output_nc=1, ngf=4, n_downsampling=2, n_blocks=3, n_attn_g=1,
+    input_size=(32, 64), proj_factor=4, heads=2, dim_head=4,
+    downsample_type="conv", upsample_type="transconv",
+)
+
+
+def _flax_local(cfg):
+    from mdctgan_tpu.models.generator import LocalEnhancer
+
+    return LocalEnhancer(
+        input_nc=cfg["input_nc"], output_nc=cfg["output_nc"], ngf=cfg["ngf"],
+        n_downsample_global=cfg["n_downsample_global"],
+        n_blocks_global=cfg["n_blocks_global"],
+        n_blocks_local=cfg["n_blocks_local"],
+        n_attn_global=cfg["n_attn_g"], n_attn_local=cfg["n_attn_l"],
+        input_size=cfg["input_size"],
+        proj_factor_g=cfg["proj_factor_g"], heads_g=cfg["heads_g"],
+        dim_head_g=cfg["dim_head_g"], proj_factor_l=cfg["proj_factor_l"],
+        heads_l=cfg["heads_l"], dim_head_l=cfg["dim_head_l"],
+        downsample_type=cfg["downsample_type"],
+        upsample_type=cfg["upsample_type"],
+    )
+
+
+def _flax_global(cfg):
+    from mdctgan_tpu.models.generator import GlobalGenerator
+
+    return GlobalGenerator(
+        input_nc=cfg["input_nc"], output_nc=cfg["output_nc"], ngf=cfg["ngf"],
+        n_downsampling=cfg["n_downsampling"], n_blocks=cfg["n_blocks"],
+        n_attn=cfg["n_attn_g"], input_size=cfg["input_size"],
+        proj_factor=cfg["proj_factor"], heads=cfg["heads"],
+        dim_head=cfg["dim_head"], downsample_type=cfg["downsample_type"],
+        upsample_type=cfg["upsample_type"],
+    )
+
+
+def _torch_local(cfg):
+    torch.manual_seed(0)
+    return TorchLocalEnhancer(**cfg)
+
+
+def _torch_global(cfg):
+    torch.manual_seed(0)
+    c = dict(cfg)
+    c["proj_factor"], c["heads"], c["dim_head"] = (
+        c.pop("proj_factor"), c.pop("heads"), c.pop("dim_head"))
+    return TorchGlobalGenerator(**c)
+
+
+# --------------------------------------------------------------------------
+# Key-set equality
+# --------------------------------------------------------------------------
+
+def _assert_keyset_match(torch_module, entries):
+    req, opt = import_torch.expected_torch_keys(entries)
+    real = set(torch_module.state_dict().keys())
+    req_set = set(req)
+    missing = sorted(req_set - real)
+    assert not missing, f"importer expects keys torch doesn't have: {missing[:10]}"
+    extra = sorted(real - req_set - set(opt))
+    assert not extra, f"torch has keys the importer never consumes: {extra[:10]}"
+
+
+def test_keyset_flagship_local():
+    cfg = FLAGSHIP_LOCAL
+    gen = _flax_local(cfg)
+    _assert_keyset_match(_torch_local(cfg), import_torch.generator_entries_for(gen))
+
+
+def test_keyset_small_local_both_attn():
+    cfg = SMALL_LOCAL_BOTH_ATTN
+    gen = _flax_local(cfg)
+    _assert_keyset_match(_torch_local(cfg), import_torch.generator_entries_for(gen))
+
+
+def test_keyset_small_global():
+    cfg = SMALL_GLOBAL
+    gen = _flax_global(cfg)
+    _assert_keyset_match(_torch_global(cfg), import_torch.generator_entries_for(gen))
+
+
+def test_keyset_discriminator():
+    holder = build_torch_discriminator(input_nc=3, ndf=16, n_layers=3, num_D=3)
+    _assert_keyset_match(holder, import_torch.discriminator_entries(3, 3))
+
+
+# --------------------------------------------------------------------------
+# Whole-model forward parity (torch forward vs flax forward on imported
+# weights)
+# --------------------------------------------------------------------------
+
+def _randomize(model, rng):
+    """Random N(0, 0.05) params + randomized BN running stats so eval-mode
+    parity exercises the stats import too."""
+    with torch.no_grad():
+        for p in model.parameters():
+            p.copy_(torch.from_numpy(
+                rng.normal(0, 0.05, p.shape).astype(np.float32)))
+        for m in model.modules():
+            if isinstance(m, nn.BatchNorm2d):
+                m.running_mean.copy_(torch.from_numpy(
+                    rng.normal(0, 0.1, m.running_mean.shape).astype(np.float32)))
+                m.running_var.copy_(torch.from_numpy(
+                    rng.uniform(0.5, 1.5, m.running_var.shape).astype(np.float32)))
+
+
+def _forward_parity(torch_model, flax_model, cfg, rng, atol=5e-4):
+    _randomize(torch_model, rng)
+    torch_model.eval()
+    h, w = cfg["input_size"]
+    x = rng.standard_normal((2, cfg["input_nc"], h, w)).astype(np.float32)
+    with torch.no_grad():
+        ref = torch_model(torch.from_numpy(x)).numpy()
+    params, stats = import_torch.import_generator(
+        torch_model.state_dict(), flax_model)
+    ours = flax_model.apply(
+        {"params": params, "batch_stats": stats},
+        jnp.asarray(np.transpose(x, (0, 2, 3, 1))), train=False,
+    )
+    ours = np.transpose(np.asarray(ours), (0, 3, 1, 2))
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(ours, ref, atol=atol)
+
+
+def test_forward_parity_local_both_attn(rng):
+    cfg = SMALL_LOCAL_BOTH_ATTN
+    _forward_parity(_torch_local(cfg), _flax_local(cfg), cfg, rng)
+
+
+def test_forward_parity_global(rng):
+    cfg = SMALL_GLOBAL
+    _forward_parity(_torch_global(cfg), _flax_global(cfg), cfg, rng)
+
+
+def test_forward_parity_flagship_local(rng):
+    # the exact shipped architecture (train.sh), full geometry
+    cfg = FLAGSHIP_LOCAL
+    _forward_parity(_torch_local(cfg), _flax_local(cfg), cfg, rng, atol=5e-4)
