@@ -82,3 +82,55 @@ def carry_schedule_count(old_opt_state, new_opt_state):
         new_opt_state,
         is_leaf=is_sched,
     )
+
+
+class FreqClock:
+    """Sample-counted trigger cadence for print/display/save/eval.
+
+    The reference counts ``total_steps`` in SAMPLES, not optimizer steps
+    (train.py:154-155 ``total_steps += opt.batchSize``), snaps ``print_freq``
+    to ``lcm(print_freq, batchSize)`` (train.py:74), and phases every trigger
+    by the resume offset (train.py:81-85 ``delta = total_steps % freq``) so a
+    resumed run keeps the original cadence.  So ``train.sh``'s
+    ``--save_latest_freq 16000`` at batch 20 means "save every 800 batches".
+
+    ``tick()`` advances one batch and returns which triggers fire, matching
+    the reference's post-increment comparisons (train.py:158,206,221,227).
+    """
+
+    def __init__(
+        self,
+        batch_size: int,
+        start_samples: int,
+        print_freq: int,
+        display_freq: int,
+        save_latest_freq: int,
+        eval_freq: int,
+        eval_enabled: bool,
+    ):
+        from math import lcm
+
+        self.batch = batch_size
+        self.print_freq = lcm(max(print_freq, 1), batch_size)
+        self.display_freq = max(display_freq, 1)
+        self.save_freq = max(save_latest_freq, 1)
+        self.eval_freq = max(eval_freq, 1)
+        self.total = start_samples
+        self.print_delta = start_samples % self.print_freq
+        self.display_delta = start_samples % self.display_freq
+        self.save_delta = start_samples % self.save_freq
+        # reference train.py:85: eval_delta = -1 unless validation_split > 0
+        self.eval_delta = (
+            start_samples % self.eval_freq if (eval_enabled and eval_freq > 0)
+            else -1
+        )
+
+    def tick(self):
+        self.total += self.batch
+        return {
+            "print": self.total % self.print_freq == self.print_delta,
+            "display": self.total % self.display_freq == self.display_delta,
+            "save": self.total % self.save_freq == self.save_delta,
+            "eval": self.eval_delta >= 0
+                    and self.total % self.eval_freq == self.eval_delta,
+        }

@@ -34,7 +34,11 @@ from mdctgan_tpu.parallel.mesh import make_mesh, replicate
 from mdctgan_tpu.train import checkpoint as ckpt_mod
 from mdctgan_tpu.train import import_torch
 from mdctgan_tpu.train.freeze import masked_optimizer, param_labels
-from mdctgan_tpu.train.schedule import carry_schedule_count, make_optimizers
+from mdctgan_tpu.train.schedule import (
+    FreqClock,
+    carry_schedule_count,
+    make_optimizers,
+)
 from mdctgan_tpu.train.state import create_train_state
 from mdctgan_tpu.train.step import build_inference_fn, build_train_step
 from mdctgan_tpu.utils import ImagePool, Visualizer
@@ -154,14 +158,22 @@ def main() -> None:
     elif opt.load_pretrain:
         g_path = os.path.join(opt.load_pretrain, f"{opt.which_epoch}_net_G.pth")
         d_path = os.path.join(opt.load_pretrain, f"{opt.which_epoch}_net_D.pth")
+        key_map = getattr(opt, "param_key_map", None) or None
         if os.path.exists(g_path):
             sd = import_torch.load_pth(g_path)
-            params, stats = import_torch.import_generator(sd, generator)
+            params, stats = import_torch.import_generator(
+                sd, generator, param_key_map=key_map,
+                init_vars={"params": state.g_params,
+                           "batch_stats": state.batch_stats},
+            )
             state = state.replace(g_params=params, batch_stats=stats)
             print(f"imported pretrained G from {g_path}")
         if os.path.exists(d_path):
             sd = import_torch.load_pth(d_path)
-            d_params = import_torch.import_discriminator(sd, opt.num_D, opt.n_layers_D)
+            d_params = import_torch.import_discriminator(
+                sd, opt.num_D, opt.n_layers_D, param_key_map=key_map,
+                init_params=state.d_params,
+            )
             state = state.replace(d_params=d_params)
             print(f"imported pretrained D from {d_path}")
 
@@ -248,12 +260,21 @@ def main() -> None:
                   " ".join(f"{k}={v:.4f}" for k, v in avg.items()))
 
     rng = jax.random.PRNGKey(opt.seed)
-    total_steps = int(jax.device_get(state.step))
+    # total_steps counts SAMPLES, reference train.py:81,154-155; a resumed
+    # run keeps the original trigger cadence via the FreqClock deltas
+    start_samples = (start_epoch - 1) * dataset_size + epoch_iter
+    clock = FreqClock(
+        opt.batchSize, start_samples,
+        opt.print_freq, opt.display_freq, opt.save_latest_freq, opt.eval_freq,
+        eval_enabled=opt.validation_split > 0,
+    )
+    opt_steps = int(jax.device_get(state.step))
     profiling = False
     try:
         for epoch in range(start_epoch, opt.niter + opt.niter_decay + 1):
             epoch_start = time.time()
-            first_iter = epoch_iter if epoch == start_epoch else 0
+            # cursor epoch_iter is in samples (reference iter.txt units)
+            first_iter = epoch_iter // opt.batchSize if epoch == start_epoch else 0
             epoch_iter = 0
             for it in range(first_iter, steps_per_epoch):
                 iter_start = time.time()
@@ -269,21 +290,23 @@ def main() -> None:
                     pool.commit(np.asarray(metrics.pop("fake_concat")))
                 else:
                     state, metrics = step_fn(state, batch, sub)
-                total_steps += 1
-                epoch_iter = it + 1
+                opt_steps += 1
+                fire = clock.tick()
+                total_steps = clock.total
+                epoch_iter = (it + 1) * opt.batchSize
 
                 # jax.profiler trace window (SURVEY.md §5.1 — absent in the
-                # reference; here from day one)
-                if opt.profile_dir and total_steps == opt.profile_step:
+                # reference; here from day one) — counted in optimizer steps
+                if opt.profile_dir and opt_steps == opt.profile_step:
                     jax.profiler.start_trace(opt.profile_dir)
                     profiling = True
-                elif profiling and total_steps >= opt.profile_step + opt.profile_nsteps:
+                elif profiling and opt_steps >= opt.profile_step + opt.profile_nsteps:
                     jax.block_until_ready(metrics["loss_G"])
                     jax.profiler.stop_trace()
                     profiling = False
                     print(f"profiler trace written to {opt.profile_dir}")
 
-                if total_steps % opt.print_freq == 0:
+                if fire["print"]:
                     # ONE device-to-host transfer for the whole dict: per-value
                     # float() costs a full tunnel round-trip each (~6x RTT per
                     # printed step, measured 0.24 s/step vs 0.082 s device
@@ -293,7 +316,7 @@ def main() -> None:
                     t = time.time() - iter_start
                     visualizer.print_current_errors(epoch, epoch_iter, errors, t)
                     visualizer.plot_current_errors(errors, total_steps)
-                if total_steps % opt.display_freq == 0:
+                if fire["display"]:
                     g_vars = {"params": state.g_params,
                               "batch_stats": state.batch_stats}
                     lr_spec, _, _ = transform.lr_forward(batch["lr_audio"][:1])
@@ -307,13 +330,12 @@ def main() -> None:
                         },
                         epoch, total_steps,
                     )
-                if total_steps % opt.save_latest_freq == 0:
+                if fire["save"]:
                     save(epoch, epoch_iter)
                     print(f"saved latest (epoch {epoch}, iters {total_steps})")
                 # reference gate: eval only when validation_split > 0
                 # (train.py:85,227 — eval_delta is -1 otherwise)
-                if (opt.validation_split > 0 and opt.eval_freq > 0
-                        and total_steps % opt.eval_freq == 0):
+                if fire["eval"]:
                     run_eval(total_steps, epoch)
                 if interrupted["flag"]:
                     save(epoch, epoch_iter)

@@ -405,3 +405,34 @@ def test_export_stablehlo_roundtrip(tmp_path):
                                out_length=cfg.segment_length)
     _, ref = infer(g_vars, lr)
     np.testing.assert_allclose(got, np.asarray(ref[..., :8128]), atol=1e-5)
+
+
+def test_freq_clock_matches_reference_schedule():
+    """train.sh cadence parity: the reference counts total_steps in SAMPLES
+    (train.py:154-155) and snaps print_freq to lcm(print_freq, batchSize)
+    (train.py:74), so at batch 20 `--save_latest_freq 16000 --eval_freq 32000
+    --display_freq 16000 --print_freq 100` mean save/display every 800
+    batches, eval every 1600, print every 5."""
+    from mdctgan_tpu.train.schedule import FreqClock
+
+    clock = FreqClock(20, 0, 100, 16000, 16000, 32000, eval_enabled=True)
+    fired = {"print": [], "display": [], "save": [], "eval": []}
+    for b in range(1, 2001):
+        f = clock.tick()
+        for k in fired:
+            if f[k]:
+                fired[k].append(b)
+    assert fired["save"] == [800, 1600]
+    assert fired["display"] == [800, 1600]
+    assert fired["eval"] == [1600]
+    assert fired["print"][:4] == [5, 10, 15, 20] and len(fired["print"]) == 400
+
+    # resume keeps the original phase (train.py:81-85): restarting mid-run at
+    # 43,242 samples (epoch 2 of VCTK) still saves every 800 batches
+    clock = FreqClock(20, 43242, 100, 16000, 16000, 32000, eval_enabled=True)
+    saves = [b for b in range(1, 1601) if clock.tick()["save"]]
+    assert saves == [800, 1600]
+
+    # eval disabled unless validation_split > 0 (train.py:85)
+    clock = FreqClock(20, 0, 100, 16000, 16000, 32000, eval_enabled=False)
+    assert not any(clock.tick()["eval"] for _ in range(2000))
