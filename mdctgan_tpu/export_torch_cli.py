@@ -82,20 +82,12 @@ def main() -> None:
     )
     parser.parser.add_argument(
         "--export_step", type=int, default=None,
-        help="orbax step to export (default: latest); --which_epoch only "
-             "labels the output files",
+        help="orbax step to export (default: resolve --which_epoch through "
+             "the epoch index; 'latest' = newest save)",
     )
     opt = parser.parse(save=False)
     if not opt.load_pretrain:
         raise SystemExit("--load_pretrain (orbax checkpoint dir) is required")
-    if opt.which_epoch != "latest" and opt.export_step is None:
-        # orbax checkpoints are keyed by STEP, not epoch: refuse to stamp an
-        # epoch label onto whatever happens to be the latest state.
-        raise SystemExit(
-            "--which_epoch labels the files but orbax checkpoints are "
-            "step-keyed: pass --export_step <step> to select the state "
-            "to export"
-        )
 
     cfg = spectral_config_from_opt(opt)
     generator = build_generator(opt)
@@ -114,7 +106,10 @@ def main() -> None:
                    opt.input_nc + opt.output_nc)),
     )
     mgr = CheckpointManager(os.path.join(opt.load_pretrain, "ckpt"))
-    step = opt.export_step if opt.export_step is not None else mgr.latest_step()
+    # --export_step wins; otherwise --which_epoch N resolves through the
+    # epoch->step index (reference <epoch>_net_G.pth, base_model.py:50-53)
+    step = (opt.export_step if opt.export_step is not None
+            else mgr.resolve_epoch(opt.which_epoch))
     sub = mgr.restore_fields(
         {
             "g_params": g_tmpl["params"],

@@ -9,8 +9,9 @@ both Adam states, step), plus the iteration cursor the reference keeps in
 
 from __future__ import annotations
 
+import json
 import os
-from typing import Optional, Tuple
+from typing import Optional, Tuple, Union
 
 import orbax.checkpoint as ocp
 
@@ -21,19 +22,65 @@ class CheckpointManager:
     def __init__(self, directory: str, max_to_keep: int = 5):
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
+        # epoch -> orbax step, so --which_epoch N can select a non-latest
+        # checkpoint (reference <epoch>_net_G.pth naming, base_model.py:50-53)
+        self._index_path = os.path.join(self.directory, "epoch_index.json")
+        self._epoch_index = self._load_index()
         self._mgr = ocp.CheckpointManager(
             self.directory,
             options=ocp.CheckpointManagerOptions(
-                max_to_keep=max_to_keep, create=True
+                max_to_keep=max_to_keep, create=True,
+                # epoch-end checkpoints are exempt from max_to_keep pruning —
+                # the reference keeps every <epoch>_net_G.pth forever
+                should_keep_fn=lambda step: step in self._epoch_index.values(),
             ),
         )
 
-    def save(self, state: GANTrainState, epoch: int, epoch_iter: int = 0) -> None:
+    def _load_index(self) -> dict:
+        if os.path.exists(self._index_path):
+            with open(self._index_path) as f:
+                return {int(k): int(v) for k, v in json.load(f).items()}
+        return {}
+
+    def save(
+        self,
+        state: GANTrainState,
+        epoch: int,
+        epoch_iter: int = 0,
+        epoch_label: Optional[int] = None,
+    ) -> None:
+        """``epoch_label`` marks this save as the end-of-epoch checkpoint for
+        that epoch (the reference's ``model.save(epoch)``, train.py:249-254):
+        it becomes addressable via --which_epoch and is kept forever."""
+        if epoch_label is not None:
+            self._epoch_index[int(epoch_label)] = int(state.step)
+            with open(self._index_path, "w") as f:
+                json.dump(self._epoch_index, f)
         payload = {
             "state": state,
             "cursor": {"epoch": epoch, "epoch_iter": epoch_iter},
         }
         self._mgr.save(int(state.step), args=ocp.args.StandardSave(payload))
+
+    def resolve_epoch(self, which_epoch: Union[str, int]) -> Optional[int]:
+        """--which_epoch -> orbax step: 'latest' -> newest save; an integer
+        -> the end-of-epoch checkpoint recorded in epoch_index.json."""
+        if which_epoch in (None, "latest"):
+            return self._mgr.latest_step()
+        try:
+            epoch = int(which_epoch)
+        except ValueError:
+            raise FileNotFoundError(
+                f"--which_epoch {which_epoch!r} is neither 'latest' nor an "
+                f"epoch number (available: {sorted(self._epoch_index)})"
+            )
+        if epoch not in self._epoch_index:
+            raise FileNotFoundError(
+                f"no checkpoint recorded for epoch {epoch} under "
+                f"{self.directory} (available epochs: "
+                f"{sorted(self._epoch_index)})"
+            )
+        return self._epoch_index[epoch]
 
     def wait(self) -> None:
         self._mgr.wait_until_finished()

@@ -55,12 +55,16 @@ def load_generator_vars(opt, generator, cfg) -> Dict:
         train=False,
     )
     mgr = ckpt_mod.CheckpointManager(os.path.join(opt.load_pretrain, "ckpt"))
+    # --which_epoch N selects the end-of-epoch-N checkpoint via the
+    # epoch->step index (reference <epoch>_net_G.pth, base_model.py:50-53)
+    step = mgr.resolve_epoch(getattr(opt, "which_epoch", "latest"))
     sub = mgr.restore_fields(
         {
             "g_params": tmpl_vars["params"],
             "batch_stats": tmpl_vars.get("batch_stats", {}),
-        }
+        },
+        step=step,
     )
     mgr.close()
-    print(f"restored orbax checkpoint from {opt.load_pretrain}")
+    print(f"restored orbax checkpoint from {opt.load_pretrain} (step {step})")
     return {"params": sub["g_params"], "batch_stats": sub["batch_stats"]}

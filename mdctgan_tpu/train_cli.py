@@ -210,8 +210,8 @@ def main() -> None:
 
     signal.signal(signal.SIGINT, _on_sigint)
 
-    def save(epoch: int, it: int) -> None:
-        mgr.save(jax.device_get(state), epoch, it)
+    def save(epoch: int, it: int, epoch_label: int | None = None) -> None:
+        mgr.save(jax.device_get(state), epoch, it, epoch_label=epoch_label)
         mgr.wait()
 
     def run_eval(step: int, epoch: int) -> None:
@@ -317,17 +317,18 @@ def main() -> None:
                     visualizer.print_current_errors(epoch, epoch_iter, errors, t)
                     visualizer.plot_current_errors(errors, total_steps)
                 if fire["display"]:
+                    from mdctgan_tpu.utils.spectro_img import display_spectra
+
                     g_vars = {"params": state.g_params,
                               "batch_stats": state.batch_stats}
-                    lr_spec, _, _ = transform.lr_forward(batch["lr_audio"][:1])
-                    hr_spec, _, _ = transform.hr_forward(batch["hr_audio"][:1])
+                    lr_spec, _, lr_np = transform.lr_forward(batch["lr_audio"][:1])
+                    hr_spec, _, hr_np = transform.hr_forward(batch["hr_audio"][:1])
                     sr_spec, _ = infer_fn(g_vars, batch["lr_audio"][:1])
+                    # denormalized (arcsinh/dB-domain) visuals, SR clipped to
+                    # the HR range (pix2pixHD_model.py:568-613)
                     visualizer.display_current_results(
-                        {
-                            "lr_spectro": np.asarray(lr_spec)[0, 0],
-                            "sr_spectro": np.asarray(sr_spec)[0, 0],
-                            "hr_spectro": np.asarray(hr_spec)[0, 0],
-                        },
+                        display_spectra(cfg, lr_spec, sr_spec, hr_spec,
+                                        lr_np, hr_np),
                         epoch, total_steps,
                     )
                 if fire["save"]:
@@ -371,7 +372,9 @@ def main() -> None:
                     use_ganfeat=not opt.no_ganFeat_loss, use_pool=pool.enabled,
                 )
             if epoch % opt.save_epoch_freq == 0:
-                save(epoch + 1, 0)
+                # reference model.save(epoch) (train.py:249-254): this save is
+                # addressable later via --which_epoch <epoch>
+                save(epoch + 1, 0, epoch_label=epoch)
                 print(f"saved model at end of epoch {epoch}")
     finally:
         if profiling:

@@ -66,3 +66,46 @@ def compute_visuals(
         pha_img = _fig_to_rgb(fig)
         plt.close(fig)
     return spec_img, hist_img, pha_img
+
+
+def display_spectra(cfg, lr_spec, sr_spec, hr_spec, lr_np, hr_np):
+    """Denormalized display visuals (pix2pixHD_model.py:568-613).
+
+    The reference registers visuals in the DENORMALIZED (arcsinh/dB) domain:
+    normalized [-1,1] values mapped back through the norm params, with the
+    SR spectro denormalized by the **LR** params and clipped to the HR
+    min/max.  explicit_encoding instead shows the mean of the two sign
+    channels; any other mode shows the raw normalized spectro.
+
+    Inputs are (B, C, F, K) spectro arrays + their norm params; returns the
+    {lr,sr,hr}_spectro dict of (F, K) arrays for the Visualizer.
+    """
+    lr = np.asarray(lr_spec, np.float32)
+    sr = np.asarray(sr_spec, np.float32)
+    hr = np.asarray(hr_spec, np.float32)
+    if cfg.explicit_encoding:  # overrides, as in the reference (:593-600)
+        return {
+            "lr_spectro": 0.5 * (lr[0, 0] + lr[0, 1]),
+            "sr_spectro": 0.5 * (sr[0, 0] + sr[0, 1]),
+            "hr_spectro": 0.5 * (hr[0, 0] + hr[0, 1]),
+        }
+    if not cfg.arcsinh_transform:  # raw fallback (:586-591)
+        return {"lr_spectro": lr[0, 0], "sr_spectro": sr[0, 0],
+                "hr_spectro": hr[0, 0]}
+    lo, hi = cfg.norm_range
+    span = hi - lo
+
+    def denorm(x, p):
+        u = (x - lo) / span
+        pmin = np.asarray(p["min"], np.float32)
+        pmax = np.asarray(p["max"], np.float32)
+        return u * (pmax - pmin) + pmin
+
+    gen = denorm(sr, lr_np)  # LR params, deliberately (:578-580)
+    gen = np.clip(gen, np.asarray(hr_np["min"], np.float32),
+                  np.asarray(hr_np["max"], np.float32))
+    return {
+        "lr_spectro": denorm(lr, lr_np)[0, 0],
+        "sr_spectro": gen[0, 0],
+        "hr_spectro": denorm(hr, hr_np)[0, 0],
+    }

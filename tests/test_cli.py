@@ -436,3 +436,63 @@ def test_freq_clock_matches_reference_schedule():
     # eval disabled unless validation_split > 0 (train.py:85)
     clock = FreqClock(20, 0, 100, 16000, 16000, 32000, eval_enabled=False)
     assert not any(clock.tick()["eval"] for _ in range(2000))
+
+
+def test_which_epoch_selects_non_latest(tmp_path):
+    """--which_epoch N must restore the end-of-epoch-N state from the
+    step-keyed orbax store (reference <epoch>_net_G.pth semantics,
+    base_model.py:50-53), via the epoch->step index written at save time."""
+    import jax
+    import pytest as _pytest
+
+    from mdctgan_tpu.models.discriminator import build_discriminator
+    from mdctgan_tpu.models.generator import build_generator
+    from mdctgan_tpu.options import TrainOptions, spectral_config_from_opt
+    from mdctgan_tpu.train.checkpoint import CheckpointManager
+    from mdctgan_tpu.train.schedule import make_optimizers
+    from mdctgan_tpu.train.state import create_train_state
+
+    opt = TrainOptions().parse([
+        "--name", "we", "--checkpoints_dir", str(tmp_path),
+        "--netG", "global", "--ngf", "4", "--n_downsample_global", "2",
+        "--n_blocks_global", "1", "--n_blocks_attn_g", "0",
+        "--segment_length", "8128", "--n_fft", "128", "--hop_length", "64",
+        "--win_length", "128", "--bins", "128", "--center",
+        "--arcsinh_transform", "--abs_spectro",
+    ], save=False)
+    cfg = spectral_config_from_opt(opt)
+    g_tx, d_tx = make_optimizers(opt.lr, opt.beta1, 1, 0, 1)
+    state = create_train_state(
+        jax.random.PRNGKey(0), build_generator(opt), build_discriminator(opt),
+        g_tx, d_tx, spectro_shape=(cfg.n_bins, cfg.n_fft // 2),
+        g_in_channels=opt.input_nc,
+        d_in_channels=opt.input_nc + opt.output_nc,
+    )
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    stem0 = np.asarray(state.g_params["stem"]["conv"]["kernel"])
+    mgr.save(state, epoch=2, epoch_iter=0, epoch_label=1)
+    mgr.wait()
+    # mutate + advance step, save as epoch 2
+    state2 = state.replace(
+        step=state.step + 5,
+        g_params=jax.tree.map(lambda x: x + 1.0, state.g_params),
+    )
+    mgr.save(state2, epoch=3, epoch_iter=0, epoch_label=2)
+    mgr.wait()
+
+    assert mgr.resolve_epoch("latest") == int(state2.step)
+    assert mgr.resolve_epoch(1) == int(state.step)
+    with _pytest.raises(FileNotFoundError, match="available"):
+        mgr.resolve_epoch(7)
+    mgr.close()
+
+    # a fresh manager re-reads the index from disk (as inference processes
+    # do; orbax also pins an item's handler to the first args class used, so
+    # the weights-only PyTreeRestore needs its own manager anyway)
+    mgr2 = CheckpointManager(str(tmp_path / "ckpt"))
+    assert mgr2.resolve_epoch(2) == int(state2.step)
+    step1 = mgr2.resolve_epoch(1)
+    sub = mgr2.restore_fields({"g_params": state.g_params}, step=step1)
+    np.testing.assert_allclose(
+        np.asarray(sub["g_params"]["stem"]["conv"]["kernel"]), stem0)
+    mgr2.close()
