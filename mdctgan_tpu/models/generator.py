@@ -163,12 +163,17 @@ class LocalEnhancer(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, train: bool = True) -> Array:
-        if self.n_local_enhancers != 1:
-            raise NotImplementedError("only n_local_enhancers=1 is supported")
-        ngf_g = self.ngf * (2 ** self.n_local_enhancers)
+        n_enh = self.n_local_enhancers
+        ngf_g = self.ngf * (2 ** n_enh)
 
-        # --- coarse branch on the avg-pooled pyramid level ----------------
-        pooled = avg_pool_3x3_s2(x)
+        # --- coarse branch on the deepest avg-pooled pyramid level --------
+        # (networks.py:253-260; for n_enh > 1 the pyramid follows upstream
+        # pix2pixHD — the reference fork hardcodes ONE enhancer branch and
+        # its forward cannot run N != 1, so N > 1 generalizes upstream's
+        # model%d_1 loop with this fork's block types.)
+        levels = [x]
+        for _ in range(n_enh):
+            levels.append(avg_pool_3x3_s2(levels[-1]))
         coarse = GlobalGenerator(
             input_nc=self.input_nc,
             output_nc=self.output_nc,
@@ -176,7 +181,8 @@ class LocalEnhancer(nn.Module):
             n_downsampling=self.n_downsample_global,
             n_blocks=self.n_blocks_global,
             n_attn=self.n_attn_global,
-            input_size=(self.input_size[0] // 2, self.input_size[1] // 2),
+            input_size=(self.input_size[0] // (2 ** n_enh),
+                        self.input_size[1] // (2 ** n_enh)),
             proj_factor=self.proj_factor_g,
             heads=self.heads_g,
             dim_head=self.dim_head_g,
@@ -185,18 +191,47 @@ class LocalEnhancer(nn.Module):
             include_head=False,
             dtype=self.dtype,
             name="global",
-        )(pooled, train=train)
+        )(levels[-1], train=train)
 
-        # --- local enhancer downsample stem (networks.py:207-211) ---------
-        ngf_l = self.ngf * (2 ** (self.n_local_enhancers - 1))
+        # --- enhancer branches, coarse to fine ----------------------------
+        h = coarse
+        for n in range(1, n_enh + 1):
+            h = self._enhancer_branch(
+                h, levels[n_enh - n],
+                ngf_l=self.ngf * (2 ** (n_enh - n)),
+                branch_size=(self.input_size[0] // (2 ** (n_enh - n)),
+                             self.input_size[1] // (2 ** (n_enh - n))),
+                # the finest branch keeps the legacy (un-prefixed) module
+                # names so n_enh=1 checkpoints stay loadable
+                prefix="" if n == n_enh else f"enh{n}_",
+                with_head=(n == n_enh),
+                train=train,
+            )
+        return h
+
+    def _enhancer_branch(
+        self,
+        coarse: Array,
+        x: Array,
+        ngf_l: int,
+        branch_size: Tuple[int, int],
+        prefix: str,
+        with_head: bool,
+        train: bool,
+    ) -> Array:
+        """One enhancer branch (networks.py:204-247): downsample stem, add
+        the coarser branch's features, refine (+ optional attention
+        bottleneck), upsample; the finest branch ends in the tanh head."""
         # stem is NOT phased: a step trace showed the reflect-padded stem's
         # phased form pays more in un-interleave + bias-grad formatting than
         # the conv saves (docs/PERFORMANCE.md).
         h = reflect_pad(x, 3)
-        h = Conv(ngf_l, 7, dtype=self.dtype, name="local_stem")(h)
+        h = Conv(ngf_l, 7, dtype=self.dtype, name=f"{prefix}local_stem")(h)
         h = instance_norm_relu(h)
-        h = _downsample_layer(self.downsample_type, ngf_l, ngf_l * 2, "local_down",
-                              dtype=self.dtype)(h)
+        h = _downsample_layer(
+            self.downsample_type, ngf_l, ngf_l * 2, f"{prefix}local_down",
+            dtype=self.dtype,
+        )(h)
         h = instance_norm_relu(h)
 
         # --- fuse and refine (networks.py:265-266: add, then upsample branch)
@@ -205,45 +240,55 @@ class LocalEnhancer(nn.Module):
         for i in range(self.n_blocks_local):
             if i == mid and self.n_attn_local > 0:
                 # 8x downsample -> attention -> 8x upsample
-                # (networks.py:218-237); fmap = input_size // 16.
+                # (networks.py:218-237); fmap = branch input size // 16.
                 # NB the torch code builds the 2nd/3rd down stage and all 3 up
                 # stages via list multiplication `[layer, ...]*k`, which
                 # repeats the SAME module -> shared weights; reproduced here
                 # by calling one module instance multiple times.
                 h = _downsample_layer(
-                    self.downsample_type, ngf_l * 2, ngf_l, "local_attn_down0",
-                    dtype=self.dtype,
+                    self.downsample_type, ngf_l * 2, ngf_l,
+                    f"{prefix}local_attn_down0", dtype=self.dtype,
                 )(h)
                 h = instance_norm_relu(h)
                 shared_down = _downsample_layer(
-                    self.downsample_type, ngf_l, ngf_l, "local_attn_down_shared",
-                    dtype=self.dtype,
+                    self.downsample_type, ngf_l, ngf_l,
+                    f"{prefix}local_attn_down_shared", dtype=self.dtype,
                 )
                 for _ in range(2):
                     h = instance_norm_relu(shared_down(h))
                 h = BottleStack(
                     dim_out=ngf_l * 2,
-                    fmap_size=(self.input_size[0] // 16, self.input_size[1] // 16),
+                    fmap_size=(branch_size[0] // 16, branch_size[1] // 16),
                     num_layers=self.n_attn_local,
                     proj_factor=self.proj_factor_l,
                     heads=self.heads_l,
                     dim_head=self.dim_head_l,
                     dtype=self.dtype,
-                    name="local_attn",
+                    name=f"{prefix}local_attn",
                 )(h, train=train)
-            h = ResnetBlock(ngf_l * 2, dtype=self.dtype, name=f"local_res{i}")(h)
+            h = ResnetBlock(
+                ngf_l * 2, dtype=self.dtype, name=f"{prefix}local_res{i}"
+            )(h)
         if self.n_attn_local > 0:
             shared_up = _upsample_layer(
-                self.upsample_type, ngf_l * 2, ngf_l * 2, "local_attn_up_shared",
-                dtype=self.dtype,
+                self.upsample_type, ngf_l * 2, ngf_l * 2,
+                f"{prefix}local_attn_up_shared", dtype=self.dtype,
             )
             for _ in range(3):
                 h = instance_norm_relu(shared_up(h))
-        h = _upsample_layer(self.upsample_type, ngf_l * 2, ngf_l, "local_up",
-                            dtype=self.dtype)(h)
+        h = _upsample_layer(
+            self.upsample_type, ngf_l * 2, ngf_l, f"{prefix}local_up",
+            dtype=self.dtype,
+        )(h)
         h = instance_norm_relu(h)
+        if not with_head:
+            # intermediate branches feed the next branch directly (upstream
+            # pix2pixHD: only the last branch carries the conv7+tanh head)
+            return h
         h = reflect_pad(h, 3)
-        h = PolyphaseConv(self.output_nc, 7, dtype=self.dtype, name="local_head")(h)
+        h = PolyphaseConv(
+            self.output_nc, 7, dtype=self.dtype, name=f"{prefix}local_head"
+        )(h)
         return nn.tanh(h.astype(jnp.float32))
 
 

@@ -39,11 +39,13 @@ def param_labels(
 
     def label(path) -> str:
         parts = tuple(str(p) for p in path)
-        is_local = parts[0].startswith("local")
+        # enhancer-branch modules are 'local_*' (finest branch) or
+        # 'enh{n}_local_*' (intermediate branches when n_local_enhancers > 1)
+        is_local = "local" in parts[0]
         if fix_global and not is_local:
             return "frozen"
         if is_local:
-            down = parts[0] in ("local_stem", "local_down")
+            down = parts[0].endswith(("local_stem", "local_down"))
             if down and freeze_l_d:
                 return "frozen"
             if not down and freeze_l_u:

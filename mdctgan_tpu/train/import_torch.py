@@ -176,10 +176,13 @@ def local_enhancer_entries(
     n_attn_local: int,
     downsample_type: str,
     upsample_type: str,
+    n_local_enhancers: int = 1,
 ) -> List[Entry]:
     """Replay LocalEnhancer.__init__ (networks.py:173-247): ``model`` is the
-    truncated global, ``model1_1`` the local stem, ``model1_2`` the local
-    refine/upsample branch."""
+    truncated global, ``model{n}_1`` the branch-n stem, ``model{n}_2`` the
+    branch-n refine/upsample stack.  The reference fork hardcodes one branch
+    (model1_1/model1_2); N > 1 follows upstream pix2pixHD's model%d loop
+    (head only on the last branch), matching our generalized flax module."""
     entries = global_generator_entries(
         "model",
         ("global",),
@@ -190,71 +193,83 @@ def local_enhancer_entries(
         upsample_type,
         include_head=False,
     )
-    # model1_1: pad, conv7, norm, relu, down, norm, relu
-    seq = _Seq("model1_1")
-    seq.skip(1)
-    seq.conv(("local_stem", "conv"))
-    seq.skip(2)
-    if downsample_type == "conv":
-        seq.add("conv", ("local_down", "conv"))
-        seq.idx += 1
-    else:
-        seq.module(lambda pfx, out: _conv_resblock(pfx, ("local_down",), out))
-    seq.skip(2)
-    entries += seq.entries
+    for n in range(1, n_local_enhancers + 1):
+        p = "" if n == n_local_enhancers else f"enh{n}_"
+        with_head = n == n_local_enhancers
 
-    # model1_2: resblocks (+ optional [down-seq, attn] at middle and 3 shared
-    # ups after), final upsample, pad, conv7, tanh
-    seq = _Seq("model1_2")
-    mid = n_blocks_local // 2
-    emitted_shared_down = False
-    for i in range(n_blocks_local):
-        if n_attn_local > 0 and i == mid:
-            # the inserted `down` is itself a Sequential occupying one index:
-            # [down0, norm, relu, shared, norm, relu, shared, norm, relu]
-            pfx = seq.here()
-            _sub = _Seq(pfx)
-            if downsample_type == "conv":
-                _sub.add("conv", ("local_attn_down0", "conv"))
-                _sub.idx += 1
-            else:
-                _sub.module(lambda p, o: _conv_resblock(p, ("local_attn_down0",), o))
-            _sub.skip(2)
-            # shared module registered twice (`[layer, norm, relu]*2`,
-            # networks.py:224-226): torch state_dict emits its tensors under
-            # BOTH Sequential indices, so map both occurrences onto the one
-            # flax module (identical values; the leftover check stays strict).
-            for _ in range(2):
+        # model{n}_1: pad, conv7, norm, relu, down, norm, relu
+        seq = _Seq(f"model{n}_1")
+        seq.skip(1)
+        seq.conv((f"{p}local_stem", "conv"))
+        seq.skip(2)
+        if downsample_type == "conv":
+            seq.add("conv", (f"{p}local_down", "conv"))
+            seq.idx += 1
+        else:
+            seq.module(
+                lambda pfx, out: _conv_resblock(pfx, (f"{p}local_down",), out)
+            )
+        seq.skip(2)
+        entries += seq.entries
+
+        # model{n}_2: resblocks (+ optional [down-seq, attn] at middle and 3
+        # shared ups after), final upsample[, pad, conv7, tanh on the last]
+        seq = _Seq(f"model{n}_2")
+        mid = n_blocks_local // 2
+        for i in range(n_blocks_local):
+            if n_attn_local > 0 and i == mid:
+                # the inserted `down` is itself a Sequential at one index:
+                # [down0, norm, relu, shared, norm, relu, shared, norm, relu]
+                pfx = seq.here()
+                _sub = _Seq(pfx)
                 if downsample_type == "conv":
-                    _sub.add("conv", ("local_attn_down_shared", "conv"))
+                    _sub.add("conv", (f"{p}local_attn_down0", "conv"))
                     _sub.idx += 1
                 else:
                     _sub.module(
-                        lambda p, o: _conv_resblock(p, ("local_attn_down_shared",), o)
+                        lambda q, o: _conv_resblock(q, (f"{p}local_attn_down0",), o)
                     )
                 _sub.skip(2)
-            seq.entries.extend(_sub.entries)
-            seq.idx += 1
-            # attention: dim = ngf_l != dim_out = ngf_l*2 -> shortcut exists
+                # shared module registered twice (`[layer, norm, relu]*2`,
+                # networks.py:224-226): torch state_dict emits its tensors
+                # under BOTH Sequential indices, so map both occurrences onto
+                # the one flax module (identical values).
+                for _ in range(2):
+                    if downsample_type == "conv":
+                        _sub.add("conv", (f"{p}local_attn_down_shared", "conv"))
+                        _sub.idx += 1
+                    else:
+                        _sub.module(
+                            lambda q, o: _conv_resblock(
+                                q, (f"{p}local_attn_down_shared",), o
+                            )
+                        )
+                    _sub.skip(2)
+                seq.entries.extend(_sub.entries)
+                seq.idx += 1
+                # attention: dim = ngf_l != dim_out = ngf_l*2 -> shortcut
+                seq.module(
+                    lambda pfx2, out: _bottle_stack(
+                        pfx2, (f"{p}local_attn",), n_attn_local, True, out
+                    )
+                )
             seq.module(
-                lambda pfx2, out: _bottle_stack(
-                    pfx2, ("local_attn",), n_attn_local, True, out
+                lambda pfx2, out, i=i: _resnet_block(
+                    pfx2, (f"{p}local_res{i}",), out
                 )
             )
-        seq.module(
-            lambda pfx2, out, i=i: _resnet_block(pfx2, (f"local_res{i}",), out)
-        )
-    if n_attn_local > 0:
-        # 3x shared upsample (`[up, norm, relu]*3`, networks.py:236-237):
-        # the torch state_dict repeats the shared module's tensors under all
-        # three Sequential indices — map each occurrence to the one flax module.
-        for _ in range(3):
-            _up_layer(seq, upsample_type, ("local_attn_up_shared",))
-    _up_layer(seq, upsample_type, ("local_up",))
-    seq.skip(1)
-    seq.conv(("local_head", "conv"))
-    seq.skip(1)
-    entries += seq.entries
+        if n_attn_local > 0:
+            # 3x shared upsample (`[up, norm, relu]*3`, networks.py:236-237):
+            # the state_dict repeats the shared tensors under all three
+            # Sequential indices — map each occurrence to the one flax module.
+            for _ in range(3):
+                _up_layer(seq, upsample_type, (f"{p}local_attn_up_shared",))
+        _up_layer(seq, upsample_type, (f"{p}local_up",))
+        if with_head:
+            seq.skip(1)
+            seq.conv((f"{p}local_head", "conv"))
+            seq.skip(1)
+        entries += seq.entries
     return entries
 
 
@@ -287,6 +302,7 @@ def generator_entries_for(gen) -> List[Entry]:
             gen.n_attn_local,
             gen.downsample_type,
             gen.upsample_type,
+            gen.n_local_enhancers,
         )
     if isinstance(gen, GlobalGenerator):
         return global_generator_entries(

@@ -120,7 +120,7 @@ def _tree_allclose(a, b):
         )
 
 
-@pytest.mark.parametrize("kind", ["global", "local", "local_attn"])
+@pytest.mark.parametrize("kind", ["global", "local", "local_attn", "local_n2"])
 def test_generator_export_import_roundtrip(kind):
     from mdctgan_tpu.models.generator import GlobalGenerator, LocalEnhancer
 
@@ -137,7 +137,7 @@ def test_generator_export_import_roundtrip(kind):
             heads_g=2, dim_head_g=4, input_size=(64, 64),
             downsample_type="resconv", upsample_type="interpolate",
         )
-    else:
+    elif kind == "local_attn":
         # local attention inserts the reference's SHARED down/up modules
         # ([layer, norm, relu] * k, networks.py:224-226,236-237), whose
         # tensors a torch state_dict lists under EVERY Sequential index —
@@ -147,6 +147,15 @@ def test_generator_export_import_roundtrip(kind):
             n_blocks_global=2, n_blocks_local=1, n_attn_global=0,
             n_attn_local=1, heads_l=2, dim_head_l=4, input_size=(64, 64),
             downsample_type="resconv", upsample_type="interpolate",
+        )
+    else:
+        # two enhancer branches: torch keys model1_*/model2_*, with the head
+        # only on the last branch (upstream pix2pixHD model%d_1 loop)
+        gen = LocalEnhancer(
+            input_nc=2, output_nc=1, ngf=4, n_local_enhancers=2,
+            n_downsample_global=2, n_blocks_global=1, n_blocks_local=1,
+            n_attn_global=0, n_attn_local=0, input_size=(64, 64),
+            downsample_type="conv", upsample_type="transconv",
         )
     v = gen.init(jax.random.PRNGKey(0), jnp.zeros((1, *gen.input_size, 2)),
                  train=False)

@@ -224,73 +224,91 @@ class TorchGlobalGenerator(nn.Module):
 
 class TorchLocalEnhancer(nn.Module):
     """Replay LocalEnhancer.__init__ (networks.py:173-251), incl. the shared
-    modules built by list multiplication (``[layer, norm, relu]*k``)."""
+    modules built by list multiplication (``[layer, norm, relu]*k``).
+
+    ``n_local_enhancers > 1`` follows upstream pix2pixHD's ``model%d_1``
+    loop (the reference fork hardcodes one branch and its forward cannot run
+    N != 1) with this fork's block types — the contract our generalized
+    importer maps."""
 
     def __init__(self, input_nc, output_nc, ngf, n_downsample_global,
                  n_blocks_global, n_blocks_local, n_attn_g, n_attn_l,
                  input_size, proj_factor_g, heads_g, dim_head_g,
                  proj_factor_l, heads_l, dim_head_l,
-                 downsample_type, upsample_type):
+                 downsample_type, upsample_type, n_local_enhancers=1):
         super().__init__()
+        self.n_local_enhancers = n_local_enhancers
         norm_layer = _norm()
         downsample_layer, upsample_layer = _layers(downsample_type, upsample_type)
-        ngf_global = ngf * 2
+        ngf_global = ngf * (2 ** n_local_enhancers)
         model_global = build_global_list(
             input_nc, output_nc, ngf_global, n_downsample_global,
             n_blocks_global, n_attn_g,
-            tuple(s // 2 for s in input_size), proj_factor_g, heads_g,
-            dim_head_g, downsample_type, upsample_type,
+            tuple(s // (2 ** n_local_enhancers) for s in input_size),
+            proj_factor_g, heads_g, dim_head_g, downsample_type, upsample_type,
         )
         self.model = nn.Sequential(
             *[model_global[i] for i in range(len(model_global) - 3)]
         )
 
-        ngf_global = ngf
-        model_downsample = [
-            nn.ReflectionPad2d(3), nn.Conv2d(input_nc, ngf_global, 7),
-            norm_layer(ngf_global), nn.ReLU(True),
-            downsample_layer(ngf_global, ngf_global * 2, kernel_size=3,
-                             stride=2, padding=1),
-            norm_layer(ngf_global * 2), nn.ReLU(True),
-        ]
-        model_upsample = [ResnetBlock(ngf_global * 2, norm_layer)
-                          for _ in range(n_blocks_local)]
-        if n_attn_l > 0:
-            middle = n_blocks_local // 2
-            down = [downsample_layer(ngf_global * 2, ngf_global, kernel_size=3,
-                                     stride=2, padding=1),
-                    norm_layer(ngf_global), nn.ReLU(True)]
-            down += [downsample_layer(ngf_global, ngf_global, kernel_size=3,
-                                      stride=2, padding=1),
-                     norm_layer(ngf_global), nn.ReLU(True)] * 2  # SHARED
-            model_upsample.insert(middle, nn.Sequential(*down))
-            fmap = tuple(s // 16 for s in input_size)
-            model_upsample.insert(
-                middle + 1,
-                BottleStack(ngf_global, fmap, ngf_global * 2, n_attn_l,
-                            proj_factor_l, heads_l, dim_head_l),
-            )
+        for n in range(1, n_local_enhancers + 1):
+            ngf_global = ngf * (2 ** (n_local_enhancers - n))
+            branch_size = tuple(s // (2 ** (n_local_enhancers - n))
+                                for s in input_size)
+            model_downsample = [
+                nn.ReflectionPad2d(3), nn.Conv2d(input_nc, ngf_global, 7),
+                norm_layer(ngf_global), nn.ReLU(True),
+                downsample_layer(ngf_global, ngf_global * 2, kernel_size=3,
+                                 stride=2, padding=1),
+                norm_layer(ngf_global * 2), nn.ReLU(True),
+            ]
+            model_upsample = [ResnetBlock(ngf_global * 2, norm_layer)
+                              for _ in range(n_blocks_local)]
+            if n_attn_l > 0:
+                middle = n_blocks_local // 2
+                down = [downsample_layer(ngf_global * 2, ngf_global,
+                                         kernel_size=3, stride=2, padding=1),
+                        norm_layer(ngf_global), nn.ReLU(True)]
+                down += [downsample_layer(ngf_global, ngf_global,
+                                          kernel_size=3, stride=2, padding=1),
+                         norm_layer(ngf_global), nn.ReLU(True)] * 2  # SHARED
+                model_upsample.insert(middle, nn.Sequential(*down))
+                fmap = tuple(s // 16 for s in branch_size)
+                model_upsample.insert(
+                    middle + 1,
+                    BottleStack(ngf_global, fmap, ngf_global * 2, n_attn_l,
+                                proj_factor_l, heads_l, dim_head_l),
+                )
+                model_upsample += [
+                    upsample_layer(in_channels=ngf_global * 2,
+                                   out_channels=ngf_global * 2, kernel_size=3,
+                                   stride=2, padding=1, output_padding=1),
+                    norm_layer(ngf_global), nn.ReLU(True),
+                ] * 3  # SHARED
             model_upsample += [
                 upsample_layer(in_channels=ngf_global * 2,
-                               out_channels=ngf_global * 2, kernel_size=3,
+                               out_channels=ngf_global, kernel_size=3,
                                stride=2, padding=1, output_padding=1),
                 norm_layer(ngf_global), nn.ReLU(True),
-            ] * 3  # SHARED
-        model_upsample += [
-            upsample_layer(in_channels=ngf_global * 2, out_channels=ngf_global,
-                           kernel_size=3, stride=2, padding=1,
-                           output_padding=1),
-            norm_layer(ngf_global), nn.ReLU(True),
-            nn.ReflectionPad2d(3), nn.Conv2d(ngf, output_nc, 7), nn.Tanh(),
-        ]
-        self.model1_1 = nn.Sequential(*model_downsample)
-        self.model1_2 = nn.Sequential(*model_upsample)
+            ]
+            if n == n_local_enhancers:
+                model_upsample += [nn.ReflectionPad2d(3),
+                                   nn.Conv2d(ngf, output_nc, 7), nn.Tanh()]
+            setattr(self, f"model{n}_1", nn.Sequential(*model_downsample))
+            setattr(self, f"model{n}_2", nn.Sequential(*model_upsample))
         self.downsample = nn.AvgPool2d(3, stride=2, padding=[1, 1],
                                        count_include_pad=False)
 
     def forward(self, x):
-        pooled = self.downsample(x)
-        return self.model1_2(self.model1_1(x) + self.model(pooled))
+        levels = [x]
+        for _ in range(self.n_local_enhancers):
+            levels.append(self.downsample(levels[-1]))
+        out = self.model(levels[-1])
+        for n in range(1, self.n_local_enhancers + 1):
+            m1 = getattr(self, f"model{n}_1")
+            m2 = getattr(self, f"model{n}_2")
+            out = m2(m1(levels[self.n_local_enhancers - n]) + out)
+        return out
 
 
 def build_torch_discriminator(input_nc, ndf, n_layers, num_D):
@@ -334,6 +352,13 @@ SMALL_LOCAL_BOTH_ATTN = dict(  # exercises shared modules + BotNet shortcut
     proj_factor_l=2, heads_l=2, dim_head_l=4,
     downsample_type="resconv", upsample_type="interpolate",
 )
+SMALL_LOCAL_N2 = dict(  # two enhancer branches (upstream model%d_1 loop)
+    input_nc=2, output_nc=1, ngf=4, n_downsample_global=2, n_blocks_global=2,
+    n_blocks_local=2, n_attn_g=0, n_attn_l=1, input_size=(128, 128),
+    proj_factor_g=4, heads_g=2, dim_head_g=4,
+    proj_factor_l=2, heads_l=2, dim_head_l=4,
+    downsample_type="conv", upsample_type="transconv", n_local_enhancers=2,
+)
 SMALL_GLOBAL = dict(  # conv/transconv variant with the tanh head
     input_nc=2, output_nc=1, ngf=4, n_downsampling=2, n_blocks=3, n_attn_g=1,
     input_size=(32, 64), proj_factor=4, heads=2, dim_head=4,
@@ -345,6 +370,7 @@ def _flax_local(cfg):
     from mdctgan_tpu.models.generator import LocalEnhancer
 
     return LocalEnhancer(
+        n_local_enhancers=cfg.get("n_local_enhancers", 1),
         input_nc=cfg["input_nc"], output_nc=cfg["output_nc"], ngf=cfg["ngf"],
         n_downsample_global=cfg["n_downsample_global"],
         n_blocks_global=cfg["n_blocks_global"],
@@ -411,6 +437,12 @@ def test_keyset_small_local_both_attn():
     _assert_keyset_match(_torch_local(cfg), import_torch.generator_entries_for(gen))
 
 
+def test_keyset_small_local_n2():
+    cfg = SMALL_LOCAL_N2
+    gen = _flax_local(cfg)
+    _assert_keyset_match(_torch_local(cfg), import_torch.generator_entries_for(gen))
+
+
 def test_keyset_small_global():
     cfg = SMALL_GLOBAL
     gen = _flax_global(cfg)
@@ -462,6 +494,11 @@ def _forward_parity(torch_model, flax_model, cfg, rng, atol=5e-4):
 
 def test_forward_parity_local_both_attn(rng):
     cfg = SMALL_LOCAL_BOTH_ATTN
+    _forward_parity(_torch_local(cfg), _flax_local(cfg), cfg, rng)
+
+
+def test_forward_parity_local_n2(rng):
+    cfg = SMALL_LOCAL_N2
     _forward_parity(_torch_local(cfg), _flax_local(cfg), cfg, rng)
 
 
