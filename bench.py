@@ -142,19 +142,25 @@ def main() -> None:
         from mdctgan_tpu.ops.pallas_mdct import is_tpu, mdct_spectro_fused
 
         if is_tpu():
-            fused_ms = device_time_scan(
-                lambda a: mdct_spectro_fused(a, gain=1000.0, scale=0.5, shift=0.25),
-                x,
-            )
-            unfused_ms = device_time_scan(
-                lambda a: jnp.arcsinh(1000.0 * m(a)) / np.log(10.0) * 0.5 + 0.25,
-                x,
-            )
-            print(
-                f"[bench] MDCT+normalize 64x32512: fused pallas {fused_ms:.3f} ms"
-                f" vs XLA {unfused_ms:.3f} ms ({unfused_ms / fused_ms:.2f}x)",
-                file=sys.stderr,
-            )
+            for bsz in (20, 64):
+                xb = x[:bsz]
+                fused_ms = device_time_scan(
+                    lambda a: mdct_spectro_fused(
+                        a, gain=1000.0, scale=0.5, shift=0.25
+                    ),
+                    xb,
+                )
+                unfused_ms = device_time_scan(
+                    lambda a: jnp.arcsinh(1000.0 * m(a)) / np.log(10.0) * 0.5
+                    + 0.25,
+                    xb,
+                )
+                print(
+                    f"[bench] MDCT+normalize {bsz}x32512: fused pallas "
+                    f"{fused_ms:.3f} ms vs XLA {unfused_ms:.3f} ms "
+                    f"({unfused_ms / fused_ms:.2f}x)",
+                    file=sys.stderr,
+                )
     except Exception as e:
         print(f"[bench] pallas bench skipped: {e!r}", file=sys.stderr)
 
@@ -195,10 +201,43 @@ def main() -> None:
         }
         key = jax.random.PRNGKey(1)
 
-        step_ms = train_step_scan_ms(step, state, batch, key)
         print(
-            f"[bench] flagship G+D train step (batch 20, bf16): {step_ms:.2f} ms"
-            f" = {1e3 / step_ms:.2f} steps/s/chip",
+            f"[bench] transform path: "
+            f"{'fused-pallas' if tf_.use_fused else 'xla'} "
+            f"(auto gate, min_batch {tf_.fused_min_batch})",
+            file=sys.stderr,
+        )
+        step_ms = train_step_scan_ms(step, state, batch, key)
+        # Ground truth: a jax.profiler device trace of 3 steps.  The scan
+        # number pays state-carry copies the real training loop does not
+        # (~13% at flagship size; docs/PERFORMANCE.md), so the trace's
+        # "Steps" events are the reported per-step time when available.
+        trace_ms = None
+        try:
+            import tempfile
+
+            from mdctgan_tpu.utils.profiling import (
+                capture_trace,
+                step_device_time_ms,
+            )
+
+            def run_once():
+                _, mm = step(state, batch, key)
+                float(mm["loss_G"])  # value fetch = true barrier (CLAUDE.md)
+
+            run_once()  # warm
+            with tempfile.TemporaryDirectory() as td:
+                xp = capture_trace(run_once, td, steps=3)
+                trace_ms = step_device_time_ms(xp, steps=3)
+        except Exception as e:
+            print(f"[bench] trace timing unavailable: {e!r}", file=sys.stderr)
+        best_ms = trace_ms if trace_ms else step_ms
+        print(
+            f"[bench] flagship G+D train step (batch 20, bf16): "
+            f"{best_ms:.2f} ms = {20e3 / best_ms:.0f} samples/s/chip "
+            f"(device trace"
+            f"{'' if trace_ms else ' unavailable — scan-chained'}; "
+            f"scan-chained cross-check {step_ms:.2f} ms incl. carry copies)",
             file=sys.stderr,
         )
     except Exception as e:

@@ -155,7 +155,8 @@ class SpectralTransform:
         # for the downstream convs (measured +1.85 ms/segment on flagship
         # inference), while at train batches it's neutral-to-positive.
         # Explicit use_fused=True (--fused_mdct on) applies at any batch.
-        self.fused_min_batch = 8 if use_fused is None else 1
+        auto = use_fused is None
+        self.fused_min_batch = 8 if auto else 1
         if use_fused is None:
             use_fused = compatible and (_single_tpu() or _tpu_mesh(mesh))
         elif use_fused and not compatible:
@@ -165,6 +166,15 @@ class SpectralTransform:
                 "increasing src_range/norm_range affine"
             )
         self.use_fused = bool(use_fused)
+        if self.use_fused:
+            gate = ("any batch" if self.fused_min_batch == 1
+                    else f"batch >= {self.fused_min_batch}")
+            print(f"[transform] fused pallas MDCT path enabled ({gate})")
+        else:
+            why = ("config incompatible" if not compatible
+                   else "no single-TPU/TPU-mesh target" if auto
+                   else "--fused_mdct off")
+            print(f"[transform] XLA MDCT path ({why})")
 
     def _fused_compatible(self, dtype) -> bool:
         cfg = self.cfg

@@ -17,10 +17,8 @@ the device trace's "Steps" line is the ground truth.
 from __future__ import annotations
 
 import argparse
-import glob
 import os
 import sys
-from collections import defaultdict
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
@@ -68,78 +66,22 @@ def build_and_trace(batch: int, steps: int, out_dir: str) -> str:
             ),
         }
 
+    from mdctgan_tpu.utils.profiling import capture_trace
+
     _, m = step(state, mkbatch(), key)  # compile + warm
     jax.block_until_ready(m["loss_G"])
-    with jax.profiler.trace(out_dir):
-        for _ in range(steps):
-            _, m = step(state, mkbatch(), key)
-            jax.block_until_ready(m["loss_G"])
-    paths = glob.glob(os.path.join(out_dir, "**", "*.xplane.pb"), recursive=True)
-    if not paths:
-        raise RuntimeError("no xplane capture written (device tracing failed)")
-    return max(paths, key=os.path.getmtime)
+
+    def run():
+        _, mm = step(state, mkbatch(), key)
+        jax.block_until_ready(mm["loss_G"])
+
+    return capture_trace(run, out_dir, steps)
 
 
 def report(xplane_path: str, steps: int, top: int = 15) -> None:
-    from tensorflow.tsl.profiler.protobuf import xplane_pb2  # type: ignore
+    from mdctgan_tpu.utils.profiling import report as _report
 
-    xs = xplane_pb2.XSpace()
-    with open(xplane_path, "rb") as f:
-        xs.ParseFromString(f.read())
-    planes = [p for p in xs.planes if p.name.startswith("/device:TPU")]
-    if not planes:
-        raise RuntimeError("no TPU device plane in trace")
-    pl = planes[0]
-    md = pl.event_metadata
-    smd = {k: v.name for k, v in pl.stat_metadata.items()}
-
-    def stats_of(metadata):
-        out = {}
-        for s in metadata.stats:
-            out[smd[s.metadata_id]] = (
-                s.int64_value or s.uint64_value or s.double_value or s.str_value
-            )
-        return out
-
-    step_line = [l for l in pl.lines if l.name == "Steps"]
-    if step_line:
-        durs = sorted((e.duration_ps / 1e9 for e in step_line[0].events),
-                      reverse=True)[:steps]
-        print(f"step device time: {sum(durs)/len(durs):.1f} ms "
-              f"(individual: {[round(d, 1) for d in durs]})")
-
-    ops = [l for l in pl.lines if l.name == "XLA Ops"][0]
-    cat_t = defaultdict(float)
-    cat_f = defaultdict(float)
-    cat_b = defaultdict(float)
-    op_t = defaultdict(float)
-    op_f = defaultdict(float)
-    for e in ops.events:
-        st = stats_of(md[e.metadata_id])
-        cat = st.get("hlo_category", "?")
-        t = e.duration_ps / 1e12
-        f = float(st.get("flops", 0) or 0)
-        cat_t[cat] += t
-        cat_f[cat] += f
-        cat_b[cat] += float(st.get("bytes_accessed", 0) or 0)
-        key = str(st.get("tf_op", "?"))[:90]
-        op_t[key] += t
-        op_f[key] += f
-    total_t, total_f = sum(cat_t.values()), sum(cat_f.values())
-    print(f"per-step: {total_t/steps*1e3:.1f} ms busy, "
-          f"{total_f/steps/1e12:.2f} TFLOP, "
-          f"avg {total_f/total_t/1e12:.1f} TFLOP/s")
-    print("\nby HLO category (per step):")
-    for c in sorted(cat_t, key=lambda c: -cat_t[c])[:10]:
-        t, f, b = cat_t[c] / steps, cat_f[c] / steps, cat_b[c] / steps
-        print(f"  {c:28s} {t*1e3:7.2f} ms  {f/1e9:9.1f} GFLOP "
-              f"{f/max(t,1e-12)/1e12:6.1f} TF/s  "
-              f"{b/max(t,1e-12)/1e9:6.0f} GB/s")
-    print(f"\ntop {top} ops by device time (per step):")
-    for name, t in sorted(op_t.items(), key=lambda kv: -kv[1])[:top]:
-        f = op_f[name]
-        print(f"  {t/steps*1e3:6.2f} ms {f/steps/1e9:8.1f} GF "
-              f"{f/max(t,1e-12)/1e12:6.1f} TF/s  {name}")
+    _report(xplane_path, steps, top=top)
 
 
 def main() -> None:
