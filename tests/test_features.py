@@ -184,3 +184,39 @@ def test_fused_shard_mapped_over_mesh(rng):
     s_r, _, _ = fused.to_spectro(ragged)
     s_rr, _, _ = ref.to_spectro(ragged)
     np.testing.assert_allclose(np.asarray(s_r), np.asarray(s_rr), atol=1e-4)
+
+
+def test_display_spectra_denormalizes_and_clips():
+    """Display parity (pix2pixHD_model.py:568-613): visuals are shown
+    denormalized through the norm params; SR uses the LR params then clips
+    to the HR min/max; explicit_encoding averages the two channels."""
+    import numpy as np
+
+    from mdctgan_tpu.ops.features import SpectralConfig
+    from mdctgan_tpu.utils.spectro_img import display_spectra
+
+    cfg = SpectralConfig(norm_range=(-1.0, 1.0))
+    rng = np.random.default_rng(0)
+    lr = rng.uniform(-1, 1, (2, 1, 4, 6)).astype(np.float32)
+    sr = rng.uniform(-1.5, 1.5, (2, 1, 4, 6)).astype(np.float32)  # overshoots
+    hr = rng.uniform(-1, 1, (2, 1, 4, 6)).astype(np.float32)
+    lr_np = {"min": np.float32(-5.0), "max": np.float32(5.0)}
+    hr_np = {"min": np.float32(-4.0), "max": np.float32(4.0)}
+    out = display_spectra(cfg, lr, sr, hr, lr_np, hr_np)
+
+    def den(x, lo, hi):
+        return (x + 1.0) / 2.0 * (hi - lo) + lo
+
+    np.testing.assert_allclose(out["lr_spectro"], den(lr[0, 0], -5, 5),
+                               rtol=1e-6)
+    np.testing.assert_allclose(out["hr_spectro"], den(hr[0, 0], -4, 4),
+                               rtol=1e-6)
+    expect_sr = np.clip(den(sr[0, 0], -5, 5), -4.0, 4.0)  # LR params, HR clip
+    np.testing.assert_allclose(out["sr_spectro"], expect_sr, rtol=1e-6)
+    assert out["sr_spectro"].max() <= 4.0 + 1e-6
+
+    cfg_ex = SpectralConfig(arcsinh_transform=False, explicit_encoding=True)
+    lr2 = rng.uniform(-1, 1, (1, 2, 4, 6)).astype(np.float32)
+    out2 = display_spectra(cfg_ex, lr2, lr2, lr2, lr_np, hr_np)
+    np.testing.assert_allclose(out2["lr_spectro"],
+                               0.5 * (lr2[0, 0] + lr2[0, 1]), rtol=1e-6)

@@ -71,6 +71,9 @@ class MultiscaleD(nn.Module):
 def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     n_steps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    # the environment pins OMP threads to 1 by default — give torch every
+    # core so the CPU anchor is as favorable to the reference as possible
+    torch.set_num_threads(os.cpu_count() or 1)
     torch.manual_seed(0)
     G = gold.TorchLocalEnhancer(**gold.FLAGSHIP_LOCAL)  # train.sh config
     D = MultiscaleD(input_nc=3, ndf=64, n_layers=3, num_D=3)
