@@ -26,11 +26,9 @@ def instance_norm(x: Array, eps: float = 1e-5) -> Array:
     Statistics accumulate in float32 (matching torch AMP, which keeps norm
     math in fp32) but the activation KEEPS its compute dtype — under the bf16
     policy this halves the HBM traffic of the norm/relu/pad chain between
-    convs.  A fused single-pass Pallas kernel exists (ops/pallas_norm.py,
-    opt-in via MDCTGAN_PALLAS_NORM=1); a measured A/B on v5e showed XLA
-    already fuses these chains to the same speed, so the default is the XLA
-    formula with centered two-pass variance."""
-    from mdctgan_tpu.ops.pallas_norm import instance_norm_fused
+    convs.  Forward is XLA (it fuses the chain to kernel speed — measured,
+    see ops/norm.py); the backward is the closed-form raw-moment custom VJP."""
+    from mdctgan_tpu.ops.norm import instance_norm_fused
 
     return instance_norm_fused(x, relu=False)
 
@@ -38,7 +36,7 @@ def instance_norm(x: Array, eps: float = 1e-5) -> Array:
 def instance_norm_relu(x: Array) -> Array:
     """relu(instance_norm(x)) as one fused pass (the generator's ubiquitous
     conv->IN->ReLU chain)."""
-    from mdctgan_tpu.ops.pallas_norm import instance_norm_fused
+    from mdctgan_tpu.ops.norm import instance_norm_fused
 
     return instance_norm_fused(x, relu=True)
 

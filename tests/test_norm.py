@@ -1,14 +1,11 @@
-"""Fused InstanceNorm(+ReLU) op tests.
-
-On CPU these exercise the XLA fallback path and the custom-VJP plumbing; the
-Pallas kernels themselves are validated on real TPU (see the docstring check
-in ops/pallas_norm.py and the bench A/B)."""
+"""InstanceNorm(+ReLU) op tests: forward vs a float64 torch-style oracle
+and the closed-form custom backward vs jax autodiff (ops/norm.py)."""
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mdctgan_tpu.ops.pallas_norm import _jax_instance_norm, instance_norm_fused
+from mdctgan_tpu.ops.norm import _jax_instance_norm, instance_norm_fused
 
 
 def _torch_style_in(x, relu):
@@ -44,7 +41,7 @@ def test_fused_bf16_dtype_preserved(rng):
 def test_hand_backward_matches_autodiff(rng):
     """The closed-form IN backward (_xla_instance_norm_bwd) vs jax autodiff
     of the same forward formula."""
-    from mdctgan_tpu.ops.pallas_norm import (
+    from mdctgan_tpu.ops.norm import (
         _jax_instance_norm, _jax_instance_norm_stats, _xla_instance_norm_bwd,
     )
 
@@ -63,7 +60,7 @@ def test_hand_backward_matches_autodiff(rng):
 
 def test_custom_vjp_default_path_matches_autodiff(rng):
     """instance_norm_fused's default (non-pallas) custom VJP end-to-end."""
-    from mdctgan_tpu.ops.pallas_norm import _jax_instance_norm, instance_norm_fused
+    from mdctgan_tpu.ops.norm import _jax_instance_norm, instance_norm_fused
 
     x = jnp.asarray(rng.standard_normal((2, 8, 16, 8)), jnp.float32)
     for relu in (False, True):
