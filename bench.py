@@ -221,6 +221,10 @@ def main() -> None:
                 step_device_time_ms,
             )
 
+            # donate=False reuses the scan's compiled program and keeps the
+            # profiler's "Steps" line; a donated+chained A/B measured the
+            # same device busy time (79.6 vs 79.7 ms), so nothing is lost
+
             def run_once():
                 _, mm = step(state, batch, key)
                 float(mm["loss_G"])  # value fetch = true barrier (CLAUDE.md)

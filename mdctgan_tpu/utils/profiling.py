@@ -45,14 +45,19 @@ def _device_plane(xplane_path: str):
 
 def step_device_time_ms(xplane_path: str, steps: int) -> Optional[float]:
     """Mean device time of the ``steps`` longest "Steps"-line events (the
-    warmup-free per-step ground truth), or None if the line is absent."""
+    warmup-free per-step ground truth).  Falls back to XLA-op busy time /
+    steps when the Steps line is absent (e.g. donated-state chains); returns
+    None only if neither line exists."""
     pl = _device_plane(xplane_path)
     step_line = [l for l in pl.lines if l.name == "Steps"]
-    if not step_line or not step_line[0].events:
-        return None
-    durs = sorted((e.duration_ps / 1e9 for e in step_line[0].events),
-                  reverse=True)[:steps]
-    return sum(durs) / len(durs)
+    if step_line and step_line[0].events:
+        durs = sorted((e.duration_ps / 1e9 for e in step_line[0].events),
+                      reverse=True)[:steps]
+        return sum(durs) / len(durs)
+    ops = [l for l in pl.lines if l.name == "XLA Ops"]
+    if ops and ops[0].events:
+        return sum(e.duration_ps for e in ops[0].events) / 1e9 / steps
+    return None
 
 
 def report(xplane_path: str, steps: int, top: int = 15) -> None:

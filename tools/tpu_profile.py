@@ -50,6 +50,9 @@ def build_and_trace(batch: int, steps: int, out_dir: str) -> str:
         spectro_shape=(cfg.n_bins, cfg.n_fft // 2),
         g_in_channels=2, d_in_channels=3,
     )
+    # donate=False so the un-donated state can be fed repeatedly and the
+    # profiler emits its "Steps" line; a donated+chained A/B measured the
+    # same device busy time (79.6 vs 79.7 ms), so this costs nothing
     step = build_train_step(gen, disc, transform, g_tx, d_tx, donate=False)
     rng = np.random.default_rng(0)
     key = jax.random.PRNGKey(1)
