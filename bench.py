@@ -216,10 +216,7 @@ def main() -> None:
         try:
             import tempfile
 
-            from mdctgan_tpu.utils.profiling import (
-                capture_trace,
-                step_device_time_ms,
-            )
+            from mdctgan_tpu.utils.profiling import busy_time_ms, capture_trace
 
             # donate=False reuses the scan's compiled program and keeps the
             # profiler's "Steps" line; a donated+chained A/B measured the
@@ -232,14 +229,16 @@ def main() -> None:
             run_once()  # warm
             with tempfile.TemporaryDirectory() as td:
                 xp = capture_trace(run_once, td, steps=3)
-                trace_ms = step_device_time_ms(xp, steps=3)
+                # busy time, not the "Steps" line: Steps events absorb
+                # in-step device idle when the host stalls mid-capture
+                trace_ms = busy_time_ms(xp, steps=3)
         except Exception as e:
             print(f"[bench] trace timing unavailable: {e!r}", file=sys.stderr)
         best_ms = trace_ms if trace_ms else step_ms
         print(
             f"[bench] flagship G+D train step (batch 20, bf16): "
             f"{best_ms:.2f} ms = {20e3 / best_ms:.0f} samples/s/chip "
-            f"(device trace"
+            f"(device busy time"
             f"{'' if trace_ms else ' unavailable — scan-chained'}; "
             f"scan-chained cross-check {step_ms:.2f} ms incl. carry copies)",
             file=sys.stderr,

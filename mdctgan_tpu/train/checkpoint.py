@@ -54,8 +54,11 @@ class CheckpointManager:
         it becomes addressable via --which_epoch and is kept forever."""
         if epoch_label is not None:
             self._epoch_index[int(epoch_label)] = int(state.step)
-            with open(self._index_path, "w") as f:
-                json.dump(self._epoch_index, f)
+            import jax
+
+            if jax.process_index() == 0:  # one writer under multihost
+                with open(self._index_path, "w") as f:
+                    json.dump(self._epoch_index, f)
         payload = {
             "state": state,
             "cursor": {"epoch": epoch, "epoch_iter": epoch_iter},

@@ -43,6 +43,21 @@ def _device_plane(xplane_path: str):
     return planes[0]
 
 
+def busy_time_ms(xplane_path: str, steps: int) -> Optional[float]:
+    """Per-step XLA-op busy time (sum of device op durations / steps).
+
+    Unlike the "Steps" line this excludes device idle, so it is robust to
+    host-side stalls during capture (a contended host inflates Steps events
+    with in-step idle; measured 101 ms Steps vs 79.7 ms busy while a test
+    suite hogged the CPU).  At ~97% duty it understates the free-running
+    step by <3%."""
+    pl = _device_plane(xplane_path)
+    ops = [l for l in pl.lines if l.name == "XLA Ops"]
+    if not ops or not ops[0].events:
+        return None
+    return sum(e.duration_ps for e in ops[0].events) / 1e9 / steps
+
+
 def step_device_time_ms(xplane_path: str, steps: int) -> Optional[float]:
     """Mean device time of the ``steps`` longest "Steps"-line events (the
     warmup-free per-step ground truth).  Falls back to XLA-op busy time /
