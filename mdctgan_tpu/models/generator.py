@@ -236,39 +236,47 @@ class LocalEnhancer(nn.Module):
 
         # --- fuse and refine (networks.py:265-266: add, then upsample branch)
         h = h + coarse
+
+        def attn_bottleneck(h: Array) -> Array:
+            # 8x downsample -> attention (networks.py:218-237); fmap = branch
+            # input size // 16.
+            # NB the torch code builds the 2nd/3rd down stage and all 3 up
+            # stages via list multiplication `[layer, ...]*k`, which repeats
+            # the SAME module -> shared weights; reproduced here by calling
+            # one module instance multiple times.
+            h = _downsample_layer(
+                self.downsample_type, ngf_l * 2, ngf_l,
+                f"{prefix}local_attn_down0", dtype=self.dtype,
+            )(h)
+            h = instance_norm_relu(h)
+            shared_down = _downsample_layer(
+                self.downsample_type, ngf_l, ngf_l,
+                f"{prefix}local_attn_down_shared", dtype=self.dtype,
+            )
+            for _ in range(2):
+                h = instance_norm_relu(shared_down(h))
+            return BottleStack(
+                dim_out=ngf_l * 2,
+                fmap_size=(branch_size[0] // 16, branch_size[1] // 16),
+                num_layers=self.n_attn_local,
+                proj_factor=self.proj_factor_l,
+                heads=self.heads_l,
+                dim_head=self.dim_head_l,
+                dtype=self.dtype,
+                name=f"{prefix}local_attn",
+            )(h, train=train)
+
         mid = self.n_blocks_local // 2
         for i in range(self.n_blocks_local):
             if i == mid and self.n_attn_local > 0:
-                # 8x downsample -> attention -> 8x upsample
-                # (networks.py:218-237); fmap = branch input size // 16.
-                # NB the torch code builds the 2nd/3rd down stage and all 3 up
-                # stages via list multiplication `[layer, ...]*k`, which
-                # repeats the SAME module -> shared weights; reproduced here
-                # by calling one module instance multiple times.
-                h = _downsample_layer(
-                    self.downsample_type, ngf_l * 2, ngf_l,
-                    f"{prefix}local_attn_down0", dtype=self.dtype,
-                )(h)
-                h = instance_norm_relu(h)
-                shared_down = _downsample_layer(
-                    self.downsample_type, ngf_l, ngf_l,
-                    f"{prefix}local_attn_down_shared", dtype=self.dtype,
-                )
-                for _ in range(2):
-                    h = instance_norm_relu(shared_down(h))
-                h = BottleStack(
-                    dim_out=ngf_l * 2,
-                    fmap_size=(branch_size[0] // 16, branch_size[1] // 16),
-                    num_layers=self.n_attn_local,
-                    proj_factor=self.proj_factor_l,
-                    heads=self.heads_l,
-                    dim_head=self.dim_head_l,
-                    dtype=self.dtype,
-                    name=f"{prefix}local_attn",
-                )(h, train=train)
+                h = attn_bottleneck(h)
             h = ResnetBlock(
                 ngf_l * 2, dtype=self.dtype, name=f"{prefix}local_res{i}"
             )(h)
+        if self.n_blocks_local == 0 and self.n_attn_local > 0:
+            # the reference's list-insert still places the bottleneck when
+            # there are no resblocks to insert between
+            h = attn_bottleneck(h)
         if self.n_attn_local > 0:
             shared_up = _upsample_layer(
                 self.upsample_type, ngf_l * 2, ngf_l * 2,

@@ -166,15 +166,19 @@ class SpectralTransform:
                 "increasing src_range/norm_range affine"
             )
         self.use_fused = bool(use_fused)
+        # stderr: bench.py's stdout contract is a single JSON line
+        import sys
+
         if self.use_fused:
             gate = ("any batch" if self.fused_min_batch == 1
                     else f"batch >= {self.fused_min_batch}")
-            print(f"[transform] fused pallas MDCT path enabled ({gate})")
+            print(f"[transform] fused pallas MDCT path enabled ({gate})",
+                  file=sys.stderr)
         else:
             why = ("config incompatible" if not compatible
                    else "no single-TPU/TPU-mesh target" if auto
                    else "--fused_mdct off")
-            print(f"[transform] XLA MDCT path ({why})")
+            print(f"[transform] XLA MDCT path ({why})", file=sys.stderr)
 
     def _fused_compatible(self, dtype) -> bool:
         cfg = self.cfg

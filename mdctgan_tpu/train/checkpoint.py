@@ -61,7 +61,11 @@ class CheckpointManager:
                     json.dump(self._epoch_index, f)
         payload = {
             "state": state,
-            "cursor": {"epoch": epoch, "epoch_iter": epoch_iter},
+            # "units" versions the cursor: epoch_iter counts SAMPLES
+            # (reference iter.txt semantics); older checkpoints without the
+            # field counted batches and are converted on restore
+            "cursor": {"epoch": epoch, "epoch_iter": epoch_iter,
+                       "units_samples": 1},
         }
         self._mgr.save(int(state.step), args=ocp.args.StandardSave(payload))
 
@@ -142,19 +146,32 @@ class CheckpointManager:
         return int(cur["epoch"]), int(cur["epoch_iter"])
 
     def restore(
-        self, template: GANTrainState, step: Optional[int] = None
+        self,
+        template: GANTrainState,
+        step: Optional[int] = None,
+        batch_size: int = 1,
     ) -> Tuple[GANTrainState, int, int]:
-        """Restore (state, epoch, epoch_iter); raises if no checkpoint."""
+        """Restore (state, epoch, epoch_iter-in-samples); raises if no
+        checkpoint.  ``batch_size`` converts legacy cursors (pre-"units"
+        checkpoints counted epoch_iter in batches)."""
         step = step if step is not None else self._mgr.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoint under {self.directory}")
         target = {
             "state": template,
-            "cursor": {"epoch": 0, "epoch_iter": 0},
+            "cursor": {"epoch": 0, "epoch_iter": 0, "units_samples": 0},
         }
-        out = self._mgr.restore(step, args=ocp.args.StandardRestore(target))
-        cur = out["cursor"]
-        return out["state"], int(cur["epoch"]), int(cur["epoch_iter"])
+        try:
+            out = self._mgr.restore(step, args=ocp.args.StandardRestore(target))
+            cur = out["cursor"]
+            it = int(cur["epoch_iter"])
+        except Exception:
+            # legacy cursor without "units_samples": epoch_iter counted BATCHES
+            target["cursor"] = {"epoch": 0, "epoch_iter": 0}
+            out = self._mgr.restore(step, args=ocp.args.StandardRestore(target))
+            cur = out["cursor"]
+            it = int(cur["epoch_iter"]) * max(int(batch_size), 1)
+        return out["state"], int(cur["epoch"]), it
 
     def close(self) -> None:
         self._mgr.close()

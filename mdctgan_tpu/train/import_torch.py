@@ -216,48 +216,55 @@ def local_enhancer_entries(
         # shared ups after), final upsample[, pad, conv7, tanh on the last]
         seq = _Seq(f"model{n}_2")
         mid = n_blocks_local // 2
-        for i in range(n_blocks_local):
-            if n_attn_local > 0 and i == mid:
-                # the inserted `down` is itself a Sequential at one index:
-                # [down0, norm, relu, shared, norm, relu, shared, norm, relu]
-                pfx = seq.here()
-                _sub = _Seq(pfx)
+
+        def emit_attn(seq: _Seq, p: str = p) -> None:
+            # the inserted `down` is itself a Sequential at one index:
+            # [down0, norm, relu, shared, norm, relu, shared, norm, relu]
+            pfx = seq.here()
+            _sub = _Seq(pfx)
+            if downsample_type == "conv":
+                _sub.add("conv", (f"{p}local_attn_down0", "conv"))
+                _sub.idx += 1
+            else:
+                _sub.module(
+                    lambda q, o: _conv_resblock(q, (f"{p}local_attn_down0",), o)
+                )
+            _sub.skip(2)
+            # shared module registered twice (`[layer, norm, relu]*2`,
+            # networks.py:224-226): torch state_dict emits its tensors
+            # under BOTH Sequential indices, so map both occurrences onto
+            # the one flax module (identical values).
+            for _ in range(2):
                 if downsample_type == "conv":
-                    _sub.add("conv", (f"{p}local_attn_down0", "conv"))
+                    _sub.add("conv", (f"{p}local_attn_down_shared", "conv"))
                     _sub.idx += 1
                 else:
                     _sub.module(
-                        lambda q, o: _conv_resblock(q, (f"{p}local_attn_down0",), o)
+                        lambda q, o: _conv_resblock(
+                            q, (f"{p}local_attn_down_shared",), o
+                        )
                     )
                 _sub.skip(2)
-                # shared module registered twice (`[layer, norm, relu]*2`,
-                # networks.py:224-226): torch state_dict emits its tensors
-                # under BOTH Sequential indices, so map both occurrences onto
-                # the one flax module (identical values).
-                for _ in range(2):
-                    if downsample_type == "conv":
-                        _sub.add("conv", (f"{p}local_attn_down_shared", "conv"))
-                        _sub.idx += 1
-                    else:
-                        _sub.module(
-                            lambda q, o: _conv_resblock(
-                                q, (f"{p}local_attn_down_shared",), o
-                            )
-                        )
-                    _sub.skip(2)
-                seq.entries.extend(_sub.entries)
-                seq.idx += 1
-                # attention: dim = ngf_l != dim_out = ngf_l*2 -> shortcut
-                seq.module(
-                    lambda pfx2, out: _bottle_stack(
-                        pfx2, (f"{p}local_attn",), n_attn_local, True, out
-                    )
+            seq.entries.extend(_sub.entries)
+            seq.idx += 1
+            # attention: dim = ngf_l != dim_out = ngf_l*2 -> shortcut
+            seq.module(
+                lambda pfx2, out: _bottle_stack(
+                    pfx2, (f"{p}local_attn",), n_attn_local, True, out
                 )
+            )
+
+        for i in range(n_blocks_local):
+            if n_attn_local > 0 and i == mid:
+                emit_attn(seq)
             seq.module(
                 lambda pfx2, out, i=i: _resnet_block(
                     pfx2, (f"{p}local_res{i}",), out
                 )
             )
+        if n_blocks_local == 0 and n_attn_local > 0:
+            # list-insert places the bottleneck even with zero resblocks
+            emit_attn(seq)
         if n_attn_local > 0:
             # 3x shared upsample (`[up, norm, relu]*3`, networks.py:236-237):
             # the state_dict repeats the shared tensors under all three
@@ -355,14 +362,20 @@ def expected_torch_keys(entries: List[Entry]) -> Tuple[List[str], List[str]]:
 
 
 def convert_state_dict(
-    state_dict: Dict[str, Any], entries: List[Entry]
+    state_dict: Dict[str, Any],
+    entries: List[Entry],
+    expected_shapes: Optional[Dict[str, Tuple[int, ...]]] = None,
 ) -> Tuple[Dict, Dict, List[str], List[str]]:
     """torch state_dict -> (params flat dict, batch_stats flat dict,
     unconsumed torch keys, missing required torch keys).
 
     Entries whose required keys are absent are skipped (recorded in
     ``missing``) so callers can implement the reference's fuzzy fallbacks
-    (base_model.py:61-111) instead of failing outright."""
+    (base_model.py:61-111) instead of failing outright.  When
+    ``expected_shapes`` (torch-layout, per torch key) is given, a
+    present-but-wrong-shaped tensor counts as missing too — the reference's
+    ladder checks ``param.size() != model_dict[name].size()``
+    (base_model.py:76) and keeps the net's own init for such keys."""
     params: Dict[Tuple[str, ...], np.ndarray] = {}
     stats: Dict[Tuple[str, ...], np.ndarray] = {}
     consumed = set()
@@ -370,8 +383,13 @@ def convert_state_dict(
 
     def take(key: str) -> Optional[np.ndarray]:
         if key in state_dict:
+            v = _to_np(state_dict[key])
+            if (expected_shapes is not None
+                    and key in expected_shapes
+                    and tuple(v.shape) != tuple(expected_shapes[key])):
+                return None  # size mismatch: leave unconsumed (-> leftover)
             consumed.add(key)
-            return _to_np(state_dict[key])
+            return v
         return None
 
     def require(key: str) -> Optional[np.ndarray]:
@@ -419,22 +437,30 @@ def convert_state_dict(
     return params, stats, leftover, missing
 
 
+class InitValuesNeeded(Exception):
+    """The fuzzy ladder must fall back to init VALUES but was only given
+    abstract shapes (e.g. a jax.eval_shape template).  Callers catch this,
+    materialize a real ``Module.init``, and retry — so the common
+    everything-matches path never pays a device init/compile."""
+
+
 def apply_param_key_map(
     state_dict: Dict[str, Any],
     key_map: Dict[str, str],
-    expected: set,
+    consumed_ok: set,
 ) -> Dict[str, Any]:
     """Reference ``--param_key_map`` module renames (base_model.py:74-85):
     for a torch key whose first two components form ``a.b`` with ``a.b`` in
     the map, component ``b`` is replaced by ``map["a.b"]``.  Only keys that
-    are not already expected are renamed (the reference renames only
-    unmatched keys)."""
+    did not already load (missing from the model, or size-mismatched — the
+    reference's ``name not in model_dict or param.size() != ...`` test) are
+    renamed."""
     if not key_map:
         return state_dict
     out: Dict[str, Any] = {}
     for name, value in state_dict.items():
         parts = name.split(".")
-        if name not in expected and len(parts) >= 2:
+        if name not in consumed_ok and len(parts) >= 2:
             key = parts[0] + "." + parts[1]
             if key in key_map:
                 parts[1] = key_map[key]
@@ -443,6 +469,53 @@ def apply_param_key_map(
                 out[new] = value
                 continue
         out[name] = value
+    return out
+
+
+def _leaf_shape(v) -> Tuple[int, ...]:
+    """Shape of a concrete array OR an abstract ShapeDtypeStruct leaf."""
+    s = getattr(v, "shape", None)
+    return tuple(s) if s is not None else tuple(np.shape(v))
+
+
+def _is_abstract(tree) -> bool:
+    for leaf in traverse.flatten_dict(tree).values():
+        return not hasattr(leaf, "__array__") and not isinstance(
+            leaf, (np.ndarray, float, int)
+        )
+    return False
+
+
+def _torch_shapes(
+    entries: List[Entry], init_params: Dict, init_stats: Optional[Dict]
+) -> Dict[str, Tuple[int, ...]]:
+    """Torch-layout expected shape per torch key (from the init template,
+    which may be abstract)."""
+    flat_p = traverse.flatten_dict(init_params)
+    flat_s = traverse.flatten_dict(init_stats) if init_stats else {}
+    out: Dict[str, Tuple[int, ...]] = {}
+    for prefix, path, kind in entries:
+        if kind in ("conv", "convT"):
+            k = flat_p.get(path + ("kernel",))
+            if k is not None:
+                s = _leaf_shape(k)  # (kH, kW, ·, ·)
+                out[f"{prefix}.weight"] = (s[3], s[2], s[0], s[1])
+            b = flat_p.get(path + ("bias",))
+            if b is not None:
+                out[f"{prefix}.bias"] = _leaf_shape(b)
+        elif kind == "bn":
+            for leaf, name, flat in (("weight", "scale", flat_p),
+                                     ("bias", "bias", flat_p),
+                                     ("running_mean", "mean", flat_s),
+                                     ("running_var", "var", flat_s)):
+                v = flat.get(path + (name,))
+                if v is not None:
+                    out[f"{prefix}.{leaf}"] = _leaf_shape(v)
+        elif kind == "posemb":
+            for leaf in ("height", "width"):
+                v = flat_p.get(path + (leaf,))
+                if v is not None:
+                    out[f"{prefix}.{leaf}"] = _leaf_shape(v)
     return out
 
 
@@ -456,20 +529,30 @@ def _fuzzy_import(
 ) -> Tuple[Dict, Dict]:
     """Strict load, then the reference's fallback ladder
     (base_model.py:61-111): drop excessive keys -> --param_key_map renames ->
-    keep initialization for still-missing modules (printing size-matched
-    candidates).  Without ``init_params`` a missing key is still an error —
-    there is nothing to fall back on."""
-    req, opt_keys = expected_torch_keys(entries)
-    expected = set(req) | set(opt_keys)
-    flat_p, flat_s, leftover, missing = convert_state_dict(state_dict, entries)
+    keep initialization for still-missing/size-mismatched modules (printing
+    size-matched candidates).  Without ``init_params`` a missing key is an
+    error — there is nothing to fall back on.  ``init_params`` may be an
+    abstract (jax.eval_shape) template; if the ladder actually needs its
+    VALUES, ``InitValuesNeeded`` is raised for the caller to materialize."""
+    shapes = (_torch_shapes(entries, init_params, init_stats)
+              if init_params is not None else None)
+    flat_p, flat_s, leftover, missing = convert_state_dict(
+        state_dict, entries, shapes
+    )
     if missing and param_key_map:
-        state_dict = apply_param_key_map(state_dict, param_key_map, expected)
-        flat_p, flat_s, leftover, missing = convert_state_dict(state_dict, entries)
+        req, opt_keys = expected_torch_keys(entries)
+        consumed_ok = (set(req) | set(opt_keys)) - set(missing)
+        state_dict = apply_param_key_map(state_dict, param_key_map, consumed_ok)
+        flat_p, flat_s, leftover, missing = convert_state_dict(
+            state_dict, entries, shapes
+        )
     if missing:
         if init_params is None:
             raise ValueError(
                 f"missing torch keys for {what} (arch mismatch?): {missing[:8]}"
             )
+        if _is_abstract(init_params):
+            raise InitValuesNeeded(missing[:8])
         print(
             f"Pretrained network {what} has fewer layers; "
             "The following layers are possibly matched:"
@@ -477,51 +560,27 @@ def _fuzzy_import(
         by_shape: Dict[Tuple[int, ...], List[str]] = {}
         for k in leftover:
             by_shape.setdefault(tuple(np.shape(_to_np(state_dict[k]))), []).append(k)
+        assert shapes is not None
         for name in missing:
-            for cand in by_shape.get(_expected_shape(name, entries, init_params), []):
+            for cand in by_shape.get(shapes.get(name), []):
                 print(f"     {name} : {cand}")
-    elif leftover:
-        print(
-            f"Pretrained network {what} has excessive layers; "
-            "Only loading layers that are used"
-        )
-    if init_params is not None:
+        # keep the net's own init for unmatched modules (base_model.py:94
+        # copies only what it can; everything else stays initialized)
         base_p = dict(traverse.flatten_dict(init_params))
         base_p.update(flat_p)
         flat_p = base_p
         base_s = dict(traverse.flatten_dict(init_stats or {}))
         base_s.update(flat_s)
         flat_s = base_s
+    elif leftover:
+        print(
+            f"Pretrained network {what} has excessive layers; "
+            "Only loading layers that are used"
+        )
     return (
         traverse.unflatten_dict(flat_p) if flat_p else {},
         traverse.unflatten_dict(flat_s) if flat_s else {},
     )
-
-
-def _expected_shape(
-    torch_key: str, entries: List[Entry], init_params: Dict
-) -> Optional[Tuple[int, ...]]:
-    """Torch-layout shape the model expects at ``torch_key`` (for the
-    reference's size-matched candidate printout)."""
-    flat = traverse.flatten_dict(init_params)
-    for prefix, path, kind in entries:
-        if not torch_key.startswith(prefix + "."):
-            continue
-        leaf = torch_key[len(prefix) + 1:]
-        if kind in ("conv", "convT") and leaf == "weight":
-            k = flat.get(path + ("kernel",))
-            if k is not None:
-                s = np.shape(k)
-                return (s[3], s[2], s[0], s[1])
-        elif kind == "bn":
-            name = {"weight": "scale", "bias": "bias"}.get(leaf)
-            if name is not None:
-                v = flat.get(path + (name,))
-                return tuple(np.shape(v)) if v is not None else None
-        elif kind == "posemb" and leaf in ("height", "width"):
-            v = flat.get(path + (leaf,))
-            return tuple(np.shape(v)) if v is not None else None
-    return None
 
 
 def import_generator(

@@ -27,18 +27,26 @@ def load_generator_vars(opt, generator, cfg) -> Dict:
         import jax.numpy as jnp
 
         sd = import_torch.load_pth(g_path)
-        # init template enables the reference's fuzzy fallback ladder
-        # (base_model.py:61-111): intersection load + --param_key_map renames
-        tmpl = generator.init(
-            jax.random.PRNGKey(0),
-            jnp.zeros((1, cfg.n_bins, cfg.n_fft // 2, opt.input_nc)),
-            train=False,
+        # Abstract init template (shapes only, no device compile) enables the
+        # reference's fuzzy fallback ladder (base_model.py:61-111): shape
+        # checks + intersection load + --param_key_map renames.  Only if the
+        # ladder must KEEP init values for unmatched modules do we pay a real
+        # Module.init.
+        key = jax.random.PRNGKey(0)
+        x0 = jnp.zeros((1, cfg.n_bins, cfg.n_fft // 2, opt.input_nc))
+        abstract = jax.eval_shape(
+            lambda k, x: generator.init(k, x, train=False), key, x0
         )
-        params, stats = import_torch.import_generator(
-            sd, generator,
-            param_key_map=getattr(opt, "param_key_map", None) or None,
-            init_vars=tmpl,
-        )
+        key_map = getattr(opt, "param_key_map", None) or None
+        try:
+            params, stats = import_torch.import_generator(
+                sd, generator, param_key_map=key_map, init_vars=abstract
+            )
+        except import_torch.InitValuesNeeded:
+            tmpl = generator.init(key, x0, train=False)
+            params, stats = import_torch.import_generator(
+                sd, generator, param_key_map=key_map, init_vars=tmpl
+            )
         print(f"imported pretrained G from {g_path}")
         return {"params": params, "batch_stats": stats}
 

@@ -151,7 +151,9 @@ def main() -> None:
     start_epoch, epoch_iter = 1, 0
     if opt.continue_train:
         try:
-            state, start_epoch, epoch_iter = mgr.restore(state)
+            state, start_epoch, epoch_iter = mgr.restore(
+                state, batch_size=opt.batchSize
+            )
             print(f"Resuming from epoch {start_epoch} at iteration {epoch_iter}")
         except FileNotFoundError:
             print("no checkpoint found — starting fresh")

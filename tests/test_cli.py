@@ -496,3 +496,57 @@ def test_which_epoch_selects_non_latest(tmp_path):
     np.testing.assert_allclose(
         np.asarray(sub["g_params"]["stem"]["conv"]["kernel"]), stem0)
     mgr2.close()
+
+
+def test_restore_converts_legacy_batch_cursor(tmp_path):
+    """Checkpoints saved before the sample-unit cursor (no "units" field,
+    epoch_iter in batches) must resume at the right position: restore()
+    multiplies by batch_size."""
+    import jax
+    import orbax.checkpoint as ocp
+
+    from mdctgan_tpu.models.discriminator import build_discriminator
+    from mdctgan_tpu.models.generator import build_generator
+    from mdctgan_tpu.options import TrainOptions, spectral_config_from_opt
+    from mdctgan_tpu.train.checkpoint import CheckpointManager
+    from mdctgan_tpu.train.schedule import make_optimizers
+    from mdctgan_tpu.train.state import create_train_state
+
+    opt = TrainOptions().parse([
+        "--name", "lc", "--checkpoints_dir", str(tmp_path),
+        "--netG", "global", "--ngf", "4", "--n_downsample_global", "2",
+        "--n_blocks_global", "1", "--n_blocks_attn_g", "0",
+        "--segment_length", "8128", "--n_fft", "128", "--hop_length", "64",
+        "--win_length", "128", "--bins", "128", "--center",
+        "--arcsinh_transform", "--abs_spectro",
+    ], save=False)
+    cfg = spectral_config_from_opt(opt)
+    g_tx, d_tx = make_optimizers(opt.lr, opt.beta1, 1, 0, 1)
+    state = create_train_state(
+        jax.random.PRNGKey(0), build_generator(opt), build_discriminator(opt),
+        g_tx, d_tx, spectro_shape=(cfg.n_bins, cfg.n_fft // 2),
+        g_in_channels=opt.input_nc,
+        d_in_channels=opt.input_nc + opt.output_nc,
+    )
+    # write a round-1-format checkpoint: cursor WITHOUT "units", batch units
+    legacy = ocp.CheckpointManager(str(tmp_path / "ckpt"))
+    legacy.save(0, args=ocp.args.StandardSave(
+        {"state": jax.device_get(state),
+         "cursor": {"epoch": 2, "epoch_iter": 7}}))
+    legacy.wait_until_finished()
+    legacy.close()
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    _, epoch, it = mgr.restore(state, batch_size=20)
+    assert (epoch, it) == (2, 140)  # 7 batches * 20 samples
+    mgr.close()
+
+    # new-format cursor passes through unchanged
+    mgr2 = CheckpointManager(str(tmp_path / "ckpt2"))
+    mgr2.save(state, epoch=3, epoch_iter=60)
+    mgr2.wait()
+    mgr2.close()
+    mgr3 = CheckpointManager(str(tmp_path / "ckpt2"))
+    _, epoch, it = mgr3.restore(state, batch_size=20)
+    assert (epoch, it) == (3, 60)
+    mgr3.close()

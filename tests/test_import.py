@@ -255,3 +255,34 @@ def test_import_param_key_map_renames():
         renamed, gen, param_key_map={"model.901": "1"}
     )
     _tree_allclose(v["params"], params)
+
+
+def test_import_shape_mismatch_falls_back_to_init(capsys):
+    # reference base_model.py:76 treats size-mismatched keys like missing
+    # ones (keeps the net's init); importing them raw would crash apply
+    gen, v, sd = _small_global()
+    good = sd["model.1.weight"]
+    sd["model.1.weight"] = np.zeros((7, 2, 7, 7), np.float32)  # wrong ngf
+    params, _ = import_torch.import_generator(sd, gen, init_vars=v)
+    out = capsys.readouterr().out
+    assert "fewer layers" in out
+    np.testing.assert_allclose(
+        np.asarray(params["stem"]["conv"]["kernel"]),
+        np.asarray(v["params"]["stem"]["conv"]["kernel"]),
+    )
+    # and the result actually runs
+    outp = gen.apply({"params": params},
+                     jnp.zeros((1, 32, 32, 2)), train=False)
+    assert np.isfinite(np.asarray(outp)).all()
+
+
+def test_import_abstract_init_lazy_materialization():
+    """An eval_shape template suffices when every key matches (no device
+    init); InitValuesNeeded fires only when the ladder must fill values."""
+    gen, v, sd = _small_global()
+    abstract = jax.eval_shape(lambda: v)
+    params, _ = import_torch.import_generator(sd, gen, init_vars=abstract)
+    _tree_allclose(v["params"], params)
+    del sd["model.1.weight"]
+    with pytest.raises(import_torch.InitValuesNeeded):
+        import_torch.import_generator(sd, gen, init_vars=abstract)

@@ -359,6 +359,14 @@ SMALL_LOCAL_N2 = dict(  # two enhancer branches (upstream model%d_1 loop)
     proj_factor_l=2, heads_l=2, dim_head_l=4,
     downsample_type="conv", upsample_type="transconv", n_local_enhancers=2,
 )
+SMALL_LOCAL_ATTN_ONLY = dict(  # n_blocks_local=0: the list-insert still
+    # places the attention bottleneck (networks.py:218-237 on an empty list)
+    input_nc=2, output_nc=1, ngf=4, n_downsample_global=2, n_blocks_global=1,
+    n_blocks_local=0, n_attn_g=0, n_attn_l=1, input_size=(64, 128),
+    proj_factor_g=4, heads_g=2, dim_head_g=4,
+    proj_factor_l=2, heads_l=2, dim_head_l=4,
+    downsample_type="conv", upsample_type="transconv",
+)
 SMALL_GLOBAL = dict(  # conv/transconv variant with the tanh head
     input_nc=2, output_nc=1, ngf=4, n_downsampling=2, n_blocks=3, n_attn_g=1,
     input_size=(32, 64), proj_factor=4, heads=2, dim_head=4,
@@ -441,6 +449,17 @@ def test_keyset_small_local_n2():
     cfg = SMALL_LOCAL_N2
     gen = _flax_local(cfg)
     _assert_keyset_match(_torch_local(cfg), import_torch.generator_entries_for(gen))
+
+
+def test_keyset_small_local_attn_only():
+    cfg = SMALL_LOCAL_ATTN_ONLY
+    gen = _flax_local(cfg)
+    _assert_keyset_match(_torch_local(cfg), import_torch.generator_entries_for(gen))
+
+
+def test_forward_parity_local_attn_only(rng):
+    cfg = SMALL_LOCAL_ATTN_ONLY
+    _forward_parity(_torch_local(cfg), _flax_local(cfg), cfg, rng)
 
 
 def test_keyset_small_global():
