@@ -200,7 +200,8 @@ def main() -> None:
     )
     infer_fn = build_inference_fn(generator, transform, out_length=cfg.segment_length)
 
-    visualizer = Visualizer(opt)
+    is_main = jax.process_index() == 0
+    visualizer = Visualizer(opt, is_main=is_main)
     eval_csv = os.path.join(expr_dir, "eval.csv")
 
     # graceful SIGINT save (train.py:89-98)
@@ -251,7 +252,7 @@ def main() -> None:
             # stable across appends
             host = jax.device_get(m)
             rows.append({k: float(host[k]) for k in m})
-        if rows:
+        if rows and is_main:  # one eval.csv writer under multihost
             avg = {k: float(np.mean([r[k] for r in rows])) for k in rows[0]}
             header = not os.path.exists(eval_csv)
             with open(eval_csv, "a") as f:

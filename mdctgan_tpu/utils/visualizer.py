@@ -23,10 +23,15 @@ from mdctgan_tpu.utils.spectro_img import compute_visuals
 
 
 class Visualizer:
-    def __init__(self, opt):
-        self.tf_log = bool(getattr(opt, "tf_log", False))
-        self.use_html = bool(getattr(opt, "isTrain", True)) and not getattr(
-            opt, "no_html", False
+    def __init__(self, opt, is_main: bool = True):
+        # under multihost only process 0 writes the file sinks (loss_log,
+        # TB, HTML); other hosts keep console prints for debugging
+        self.is_main = is_main
+        self.tf_log = bool(getattr(opt, "tf_log", False)) and is_main
+        self.use_html = (
+            bool(getattr(opt, "isTrain", True))
+            and not getattr(opt, "no_html", False)
+            and is_main
         )
         self.win_size = getattr(opt, "display_winsize", 512)
         self.abs_spectro = bool(getattr(opt, "abs_spectro", False))
@@ -47,10 +52,11 @@ class Visualizer:
             self.img_dir = os.path.join(self.web_dir, "images")
             os.makedirs(self.img_dir, exist_ok=True)
         self.log_name = os.path.join(self.save_dir, "loss_log.txt")
-        with open(self.log_name, "a") as f:
-            f.write(
-                f"================ Training Loss ({time.strftime('%c')}) ================\n"
-            )
+        if self.is_main:
+            with open(self.log_name, "a") as f:
+                f.write(
+                    f"================ Training Loss ({time.strftime('%c')}) ================\n"
+                )
 
     # ------------------------------------------------------------------ #
     def print_current_errors(
@@ -62,8 +68,9 @@ class Visualizer:
             if float(v) != 0:  # reference skips inactive losses (:95-96)
                 message += f"{k}: {float(v):.3f} "
         print(message)
-        with open(self.log_name, "a") as f:
-            f.write(f"{message}\n")
+        if self.is_main:
+            with open(self.log_name, "a") as f:
+                f.write(f"{message}\n")
 
     def plot_current_errors(self, errors: Dict[str, float], step: int) -> None:
         """TensorBoard scalars (visualizer.py:87-89)."""
