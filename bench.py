@@ -144,16 +144,19 @@ def main() -> None:
         if is_tpu():
             for bsz in (20, 64):
                 xb = x[:bsz]
+                # sub-30us ops need a LONG differential: a 100-iter scan pair
+                # once read 0.017 ms for a stable-0.036 ms op (tunnel noise);
+                # 800 iterations make the differential ~25 ms, far above it
                 fused_ms = device_time_scan(
                     lambda a: mdct_spectro_fused(
                         a, gain=1000.0, scale=0.5, shift=0.25
                     ),
-                    xb,
+                    xb, n_lo=8, n_hi=808,
                 )
                 unfused_ms = device_time_scan(
                     lambda a: jnp.arcsinh(1000.0 * m(a)) / np.log(10.0) * 0.5
                     + 0.25,
-                    xb,
+                    xb, n_lo=8, n_hi=808,
                 )
                 print(
                     f"[bench] MDCT+normalize {bsz}x32512: fused pallas "
