@@ -17,6 +17,7 @@ followed by an affine map from [min, max] (per-sample or the fixed
 from __future__ import annotations
 
 import dataclasses
+import sys
 from typing import Optional, Tuple
 
 import jax
@@ -167,8 +168,6 @@ class SpectralTransform:
             )
         self.use_fused = bool(use_fused)
         # stderr: bench.py's stdout contract is a single JSON line
-        import sys
-
         if self.use_fused:
             gate = ("any batch" if self.fused_min_batch == 1
                     else f"batch >= {self.fused_min_batch}")

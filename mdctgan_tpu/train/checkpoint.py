@@ -13,6 +13,7 @@ import json
 import os
 from typing import Optional, Tuple, Union
 
+import jax
 import orbax.checkpoint as ocp
 
 from mdctgan_tpu.train.state import GANTrainState
@@ -54,8 +55,6 @@ class CheckpointManager:
         it becomes addressable via --which_epoch and is kept forever."""
         if epoch_label is not None:
             self._epoch_index[int(epoch_label)] = int(state.step)
-            import jax
-
             if jax.process_index() == 0:  # one writer under multihost
                 with open(self._index_path, "w") as f:
                     json.dump(self._epoch_index, f)
@@ -165,10 +164,15 @@ class CheckpointManager:
             out = self._mgr.restore(step, args=ocp.args.StandardRestore(target))
             cur = out["cursor"]
             it = int(cur["epoch_iter"])
-        except Exception:
+        except Exception as primary:
             # legacy cursor without "units_samples": epoch_iter counted BATCHES
             target["cursor"] = {"epoch": 0, "epoch_iter": 0}
-            out = self._mgr.restore(step, args=ocp.args.StandardRestore(target))
+            try:
+                out = self._mgr.restore(
+                    step, args=ocp.args.StandardRestore(target)
+                )
+            except Exception:
+                raise primary  # not a cursor-format issue — surface the real error
             cur = out["cursor"]
             it = int(cur["epoch_iter"]) * max(int(batch_size), 1)
         return out["state"], int(cur["epoch"]), it

@@ -479,6 +479,8 @@ def _leaf_shape(v) -> Tuple[int, ...]:
 
 
 def _is_abstract(tree) -> bool:
+    # trees are homogeneous (all concrete arrays or all ShapeDtypeStructs),
+    # so inspecting the first leaf suffices
     for leaf in traverse.flatten_dict(tree).values():
         return not hasattr(leaf, "__array__") and not isinstance(
             leaf, (np.ndarray, float, int)

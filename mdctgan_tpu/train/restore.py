@@ -33,9 +33,11 @@ def load_generator_vars(opt, generator, cfg) -> Dict:
         # ladder must KEEP init values for unmatched modules do we pay a real
         # Module.init.
         key = jax.random.PRNGKey(0)
-        x0 = jnp.zeros((1, cfg.n_bins, cfg.n_fft // 2, opt.input_nc))
+        x_spec = jax.ShapeDtypeStruct(
+            (1, cfg.n_bins, cfg.n_fft // 2, opt.input_nc), jnp.float32
+        )
         abstract = jax.eval_shape(
-            lambda k, x: generator.init(k, x, train=False), key, x0
+            lambda k, x: generator.init(k, x, train=False), key, x_spec
         )
         key_map = getattr(opt, "param_key_map", None) or None
         try:
@@ -43,7 +45,7 @@ def load_generator_vars(opt, generator, cfg) -> Dict:
                 sd, generator, param_key_map=key_map, init_vars=abstract
             )
         except import_torch.InitValuesNeeded:
-            tmpl = generator.init(key, x0, train=False)
+            tmpl = generator.init(key, jnp.zeros(x_spec.shape), train=False)
             params, stats = import_torch.import_generator(
                 sd, generator, param_key_map=key_map, init_vars=tmpl
             )

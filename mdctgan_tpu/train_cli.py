@@ -42,6 +42,7 @@ from mdctgan_tpu.train.schedule import (
 from mdctgan_tpu.train.state import create_train_state
 from mdctgan_tpu.train.step import build_inference_fn, build_train_step
 from mdctgan_tpu.utils import ImagePool, Visualizer
+from mdctgan_tpu.utils.spectro_img import display_spectra
 
 
 def main() -> None:
@@ -320,8 +321,6 @@ def main() -> None:
                     visualizer.print_current_errors(epoch, epoch_iter, errors, t)
                     visualizer.plot_current_errors(errors, total_steps)
                 if fire["display"]:
-                    from mdctgan_tpu.utils.spectro_img import display_spectra
-
                     g_vars = {"params": state.g_params,
                               "batch_stats": state.batch_stats}
                     lr_spec, _, lr_np = transform.lr_forward(batch["lr_audio"][:1])

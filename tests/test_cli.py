@@ -438,22 +438,19 @@ def test_freq_clock_matches_reference_schedule():
     assert not any(clock.tick()["eval"] for _ in range(2000))
 
 
-def test_which_epoch_selects_non_latest(tmp_path):
-    """--which_epoch N must restore the end-of-epoch-N state from the
-    step-keyed orbax store (reference <epoch>_net_G.pth semantics,
-    base_model.py:50-53), via the epoch->step index written at save time."""
+
+def _tiny_train_state(tmp_path, name):
+    """Tiny flagship-shaped opt/cfg/state for checkpoint tests."""
     import jax
-    import pytest as _pytest
 
     from mdctgan_tpu.models.discriminator import build_discriminator
     from mdctgan_tpu.models.generator import build_generator
     from mdctgan_tpu.options import TrainOptions, spectral_config_from_opt
-    from mdctgan_tpu.train.checkpoint import CheckpointManager
     from mdctgan_tpu.train.schedule import make_optimizers
     from mdctgan_tpu.train.state import create_train_state
 
     opt = TrainOptions().parse([
-        "--name", "we", "--checkpoints_dir", str(tmp_path),
+        "--name", name, "--checkpoints_dir", str(tmp_path),
         "--netG", "global", "--ngf", "4", "--n_downsample_global", "2",
         "--n_blocks_global", "1", "--n_blocks_attn_g", "0",
         "--segment_length", "8128", "--n_fft", "128", "--hop_length", "64",
@@ -468,6 +465,19 @@ def test_which_epoch_selects_non_latest(tmp_path):
         g_in_channels=opt.input_nc,
         d_in_channels=opt.input_nc + opt.output_nc,
     )
+    return opt, cfg, state
+
+
+def test_which_epoch_selects_non_latest(tmp_path):
+    """--which_epoch N must restore the end-of-epoch-N state from the
+    step-keyed orbax store (reference <epoch>_net_G.pth semantics,
+    base_model.py:50-53), via the epoch->step index written at save time."""
+    import jax
+    import pytest as _pytest
+
+    from mdctgan_tpu.train.checkpoint import CheckpointManager
+
+    opt, cfg, state = _tiny_train_state(tmp_path, "we")
     mgr = CheckpointManager(str(tmp_path / "ckpt"))
     stem0 = np.asarray(state.g_params["stem"]["conv"]["kernel"])
     mgr.save(state, epoch=2, epoch_iter=0, epoch_label=1)
@@ -505,29 +515,9 @@ def test_restore_converts_legacy_batch_cursor(tmp_path):
     import jax
     import orbax.checkpoint as ocp
 
-    from mdctgan_tpu.models.discriminator import build_discriminator
-    from mdctgan_tpu.models.generator import build_generator
-    from mdctgan_tpu.options import TrainOptions, spectral_config_from_opt
     from mdctgan_tpu.train.checkpoint import CheckpointManager
-    from mdctgan_tpu.train.schedule import make_optimizers
-    from mdctgan_tpu.train.state import create_train_state
 
-    opt = TrainOptions().parse([
-        "--name", "lc", "--checkpoints_dir", str(tmp_path),
-        "--netG", "global", "--ngf", "4", "--n_downsample_global", "2",
-        "--n_blocks_global", "1", "--n_blocks_attn_g", "0",
-        "--segment_length", "8128", "--n_fft", "128", "--hop_length", "64",
-        "--win_length", "128", "--bins", "128", "--center",
-        "--arcsinh_transform", "--abs_spectro",
-    ], save=False)
-    cfg = spectral_config_from_opt(opt)
-    g_tx, d_tx = make_optimizers(opt.lr, opt.beta1, 1, 0, 1)
-    state = create_train_state(
-        jax.random.PRNGKey(0), build_generator(opt), build_discriminator(opt),
-        g_tx, d_tx, spectro_shape=(cfg.n_bins, cfg.n_fft // 2),
-        g_in_channels=opt.input_nc,
-        d_in_channels=opt.input_nc + opt.output_nc,
-    )
+    opt, cfg, state = _tiny_train_state(tmp_path, "lc")
     # write a round-1-format checkpoint: cursor WITHOUT "units", batch units
     legacy = ocp.CheckpointManager(str(tmp_path / "ckpt"))
     legacy.save(0, args=ocp.args.StandardSave(

@@ -25,49 +25,19 @@ os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
 
 
 def build_and_trace(batch: int, steps: int, out_dir: str) -> str:
-    import numpy as np
     import jax
-    import jax.numpy as jnp
-    import optax
 
-    from mdctgan_tpu.configs import (
-        flagship_discriminator,
-        flagship_generator,
-        flagship_spectral,
-    )
+    from flagship_setup import flagship_state
+
     from mdctgan_tpu.ops.features import SpectralTransform
-    from mdctgan_tpu.train.state import create_train_state
     from mdctgan_tpu.train.step import build_train_step
 
-    cfg = flagship_spectral()
+    cfg, gen, disc, g_tx, d_tx, state, mkbatch, key = flagship_state(batch)
     transform = SpectralTransform(cfg)
-    gen = flagship_generator(dtype=jnp.bfloat16)
-    disc = flagship_discriminator(dtype=jnp.bfloat16)
-    g_tx = optax.adam(2e-4, b1=0.5)
-    d_tx = optax.adam(2e-4, b1=0.5)
-    state = create_train_state(
-        jax.random.PRNGKey(0), gen, disc, g_tx, d_tx,
-        spectro_shape=(cfg.n_bins, cfg.n_fft // 2),
-        g_in_channels=2, d_in_channels=3,
-    )
     # donate=False so the un-donated state can be fed repeatedly and the
     # profiler emits its "Steps" line; a donated+chained A/B measured the
     # same device busy time (79.6 vs 79.7 ms), so this costs nothing
     step = build_train_step(gen, disc, transform, g_tx, d_tx, donate=False)
-    rng = np.random.default_rng(0)
-    key = jax.random.PRNGKey(1)
-
-    def mkbatch():
-        return {
-            "lr_audio": jnp.asarray(
-                0.1 * rng.standard_normal((batch, cfg.segment_length)),
-                jnp.float32,
-            ),
-            "hr_audio": jnp.asarray(
-                0.1 * rng.standard_normal((batch, cfg.segment_length)),
-                jnp.float32,
-            ),
-        }
 
     from mdctgan_tpu.utils.profiling import capture_trace
 
