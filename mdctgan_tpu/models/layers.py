@@ -302,16 +302,38 @@ def _upsample_phase_geometry(k: int, p: int):
 
 class _UpsampledConvInner(nn.Module):
     """Params identical to ``Conv``'s inner nn.Conv (kernel (k,k,I,O) HWIO +
-    bias) — computed as a polyphase conv on the pre-upsample resolution."""
+    bias) — the nearest-2x upsample is fused into the conv.
+
+    Three equal-math forms, selected per site (``method``):
+      * ``dilated`` — ONE input-dilated conv: ``conv(nearest2x(x), K) ==
+        conv_general_dilated(x, K', lhs_dilation=2, pad=p+1)`` with
+        ``K' = K correlated with [1,1]`` per spatial dim (size k+1).  No
+        phase bank, no depth-to-space; the TPU conv emitter handles
+        lhs-dilated convs natively.  THE default at every batch: the
+        flagship step dropped 91.9 -> 77.8 ms (scan; docs/PERFORMANCE.md)
+        and batch-1 inference 1.85 -> 1.58 ms/segment when every upsample
+        site switched — isolated fwd+bwd 4.71 -> 2.79 ms at 224ch and
+        4.38 -> 2.53 ms at 448ch, and the depth-to-space layout shuffles
+        leave the graph entirely.
+      * ``phase`` — round-1's polyphase kernel bank + depth-to-space; now
+        slower at every measured site in-graph, kept selectable for
+        re-measurement on other TPU generations.
+      * ``dense`` — materialize the 2x tensor (the naive form; kept as the
+        numerics oracle and A/B baseline).
+    ``auto`` = dilated; MDCTGAN_UPSAMPLE_METHOD overrides.
+    """
 
     features: int
     kernel: int
     padding: int
     min_batch: int = 8
+    method: str = "auto"
     dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
+        import os
+
         k, p, f = self.kernel, self.padding, self.features
         assert k % 2 == 1, "odd kernels only (equal phase counts)"
         in_c = x.shape[-1]
@@ -320,10 +342,14 @@ class _UpsampledConvInner(nn.Module):
         dtype = self.dtype or x.dtype
         kern = kernel.astype(dtype)
         x = x.astype(dtype)
-        if x.shape[0] < self.min_batch:
-            # Small batches are kernel-byte/formatting bound: the 4x-size
-            # phase bank + depth-to-space costs more than it saves (measured
-            # at batch 1 on v5e) — take the dense upsample+conv path.
+        method = os.environ.get("MDCTGAN_UPSAMPLE_METHOD", self.method)
+        if method == "auto":
+            # dilated wins at every measured batch (train 91.9->77.8 ms/step;
+            # batch-1 inference 1.85->1.58 ms/segment)
+            method = "dilated"
+        if method == "dense":
+            # Small batches are kernel-byte/formatting bound: the fused
+            # forms cost more than they save (measured at batch 1 on v5e).
             xu = upsample_nearest_2x(x)
             xu = jnp.pad(xu, ((0, 0), (p, p), (p, p), (0, 0)))
             y = jax.lax.conv_general_dilated(
@@ -331,6 +357,18 @@ class _UpsampledConvInner(nn.Module):
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
             )
             return y + bias.astype(dtype)
+        if method == "dilated":
+            kp = (jnp.pad(kern, ((0, 1), (0, 0), (0, 0), (0, 0)))
+                  + jnp.pad(kern, ((1, 0), (0, 0), (0, 0), (0, 0))))
+            kp = (jnp.pad(kp, ((0, 0), (0, 1), (0, 0), (0, 0)))
+                  + jnp.pad(kp, ((0, 0), (1, 0), (0, 0), (0, 0))))
+            y = jax.lax.conv_general_dilated(
+                x, kp, (1, 1), padding=((p + 1, p + 1), (p + 1, p + 1)),
+                lhs_dilation=(2, 2),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            return y + bias.astype(dtype)
+        assert method == "phase", f"unknown upsample method {method!r}"
         smin, kk = _upsample_phase_geometry(k, p)
 
         # Merge dense taps that hit the same source pixel.  The merge is a

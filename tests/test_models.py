@@ -314,3 +314,23 @@ def test_upsampled_conv_small_batch_dense_path(rng):
         np.asarray(dense.apply(params, x)), np.asarray(poly.apply(params, x)),
         atol=1e-5,
     )
+
+
+def test_upsampled_conv_methods_agree(rng):
+    """The three equal-math forms of the fused nearest-2x+conv (dense /
+    polyphase / lhs-dilated) must agree bit-tightly for every call-site
+    geometry (models/layers.py _UpsampledConvInner)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mdctgan_tpu.models.layers import _UpsampledConvInner
+
+    for (k, p) in ((5, 1), (3, 1)):
+        x = jnp.asarray(rng.standard_normal((2, 6, 10, 8)), jnp.float32)
+        outs = {}
+        for method in ("dense", "phase", "dilated"):
+            m = _UpsampledConvInner(4, k, p, min_batch=1, method=method)
+            v = m.init(jax.random.PRNGKey(0), x)
+            outs[method] = np.asarray(m.apply(v, x))
+        np.testing.assert_allclose(outs["phase"], outs["dense"], atol=1e-5)
+        np.testing.assert_allclose(outs["dilated"], outs["dense"], atol=1e-5)

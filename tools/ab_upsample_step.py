@@ -1,0 +1,18 @@
+import os, sys
+sys.path.insert(0, "/root/repo")
+import jax, jax.numpy as jnp
+from bench import train_step_scan_ms
+sys.path.insert(0, "/root/repo/tools")
+from flagship_setup import flagship_state
+from mdctgan_tpu.ops.features import SpectralTransform
+from mdctgan_tpu.parallel.mesh import enable_compilation_cache
+from mdctgan_tpu.train.step import build_train_step
+
+enable_compilation_cache("/tmp/mdctgan_jax_cache")
+method = sys.argv[1]
+os.environ["MDCTGAN_UPSAMPLE_METHOD"] = method
+cfg, gen, disc, g_tx, d_tx, state, mkbatch, key = flagship_state(20)
+tf_ = SpectralTransform(cfg)
+step = build_train_step(gen, disc, tf_, g_tx, d_tx, donate=False)
+ms = train_step_scan_ms(step, state, mkbatch(), key)
+print(f"[ab-step] upsample={method}: {ms:.2f} ms/step", flush=True)
