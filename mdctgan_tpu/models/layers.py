@@ -249,42 +249,54 @@ class PolyphaseConv(nn.Module):
     with bit-identical parameters (same param tree as ``Conv`` — .pth import
     is unaffected) and the same math.
 
-    A 2-D ``phases_h x phases_w`` block variant exists (``phases_h > 1``):
-    at equal lane count it inflates the contraction 2.6x vs 1-D's 5.1x for
-    the 7x7 kernel and measured 1.56x faster fwd+bwd than 1-D p=16 isolated
-    on v5e (tools/ab_phased_conv.py --head; 8x16 hits a pathological
-    layout).  In the full train step, however, the gain is returned to XLA's
-    layout assignment as new transposes in the upstream upsample backward —
-    step-neutral (82.1 vs 81.7 ms) — so the default stays 1-D
-    (docs/PERFORMANCE.md "negative results").  Falls back (1-D, then dense)
-    when the output extents don't divide by the phase counts.
+    The default is the 2-D ``phases_h x phases_w = 4x8`` block variant: at
+    equal lane count it inflates the contraction 2.6x vs 1-D's 5.1x for the
+    7x7 kernel (1.56x faster fwd+bwd isolated; 8x16 hits a pathological
+    layout).  In round 1's graph the in-step gain was returned to XLA's
+    layout assignment as new transposes in the upstream upsample backward
+    (step-neutral, 82.1 vs 81.7 ms) and the default stayed 1-D; the round-2
+    dilated-upsample rewrite removed those competing transposes and the 2-D
+    head now wins in-step too (77.9 -> 76.3 ms scan).  Falls back (1-D,
+    then dense) when the output extents don't divide by the phase counts or
+    the batch is small; MDCTGAN_HEAD_PHASES ("16" or "4x8") overrides for
+    A/B.
     """
 
     features: int
     kernel: int
     phases: int = 16
-    phases_h: int = 1
+    phases_h: int = 4
     phases_w: int = 8
     min_batch_2d: int = 8
     dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
+        import os
+
         # Decide 2-D eligibility HERE (both extents must divide) so that an
         # ineligible geometry falls back to the tuned 1-D ``phases`` count,
         # not to the inner's 1-D-with-phases_w path.
         k = self.kernel
         h_out, w_out = x.shape[1] - k + 1, x.shape[2] - k + 1
+        # measurement hook: MDCTGAN_HEAD_PHASES="4x8" or "16" overrides
+        phases_h, phases_w, phases = self.phases_h, self.phases_w, self.phases
+        env = os.environ.get("MDCTGAN_HEAD_PHASES")
+        if env:
+            if "x" in env:
+                phases_h, phases_w = (int(v) for v in env.split("x"))
+            else:
+                phases_h, phases = 1, int(env)
         if (
-            self.phases_h > 1 and x.shape[0] >= self.min_batch_2d
-            and h_out % self.phases_h == 0 and w_out % self.phases_w == 0
+            phases_h > 1 and x.shape[0] >= self.min_batch_2d
+            and h_out % phases_h == 0 and w_out % phases_w == 0
         ):
             return _PolyphaseConvInner(
-                self.features, self.kernel, self.phases_w,
-                phases_h=self.phases_h, dtype=self.dtype, name="conv",
+                self.features, self.kernel, phases_w,
+                phases_h=phases_h, dtype=self.dtype, name="conv",
             )(x)
         return _PolyphaseConvInner(
-            self.features, self.kernel, self.phases, dtype=self.dtype,
+            self.features, self.kernel, phases, dtype=self.dtype,
             name="conv",
         )(x)
 
