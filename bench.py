@@ -133,7 +133,10 @@ def main() -> None:
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((64, 32512)), jnp.float32)
     m = MDCT(512)
-    mdct_ms = device_time_scan(lambda a: m(a), x)
+    # 800-iteration differential: the ~0.09 ms op needs a long scan for a
+    # stable reading through the tunnel (see the fused-MDCT A/B note in
+    # docs/PERFORMANCE.md — short pairs have misread sub-0.1 ms ops by 2x)
+    mdct_ms = device_time_scan(lambda a: m(a), x, n_lo=8, n_hi=808)
     print(f"[bench] MDCT fwd 64x32512: {mdct_ms:.3f} ms (device time)",
           file=sys.stderr)
 
