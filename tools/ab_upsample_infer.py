@@ -1,5 +1,8 @@
-import os, sys
-sys.path.insert(0, "/root/repo"); sys.path.insert(0, "/root/repo/tools")
+"""Batch-1 inference A/B of the UpsampledConv method (usage: python tools/ab_upsample_infer.py {dilated|dense|phase})."""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 method = sys.argv[1]
 os.environ["MDCTGAN_UPSAMPLE_METHOD"] = method
 import jax, jax.numpy as jnp, numpy as np

@@ -1,8 +1,10 @@
-import os, sys
-sys.path.insert(0, "/root/repo")
+"""Step-level A/B of the UpsampledConv method (usage: python tools/ab_upsample_step.py {auto|dilated|phase|dense})."""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax, jax.numpy as jnp
 from bench import train_step_scan_ms
-sys.path.insert(0, "/root/repo/tools")
 from flagship_setup import flagship_state
 from mdctgan_tpu.ops.features import SpectralTransform
 from mdctgan_tpu.parallel.mesh import enable_compilation_cache
