@@ -370,10 +370,12 @@ class _UpsampledConvInner(nn.Module):
             )
             return y + bias.astype(dtype)
         if method == "dilated":
-            kp = (jnp.pad(kern, ((0, 1), (0, 0), (0, 0), (0, 0)))
-                  + jnp.pad(kern, ((1, 0), (0, 0), (0, 0), (0, 0))))
+            # widen in f32 from the stored param, cast once: K' entries are
+            # 2-tap sums and bf16(f32+f32) loses less than bf16+bf16
+            kp = (jnp.pad(kernel, ((0, 1), (0, 0), (0, 0), (0, 0)))
+                  + jnp.pad(kernel, ((1, 0), (0, 0), (0, 0), (0, 0))))
             kp = (jnp.pad(kp, ((0, 0), (0, 1), (0, 0), (0, 0)))
-                  + jnp.pad(kp, ((0, 0), (1, 0), (0, 0), (0, 0))))
+                  + jnp.pad(kp, ((0, 0), (1, 0), (0, 0), (0, 0)))).astype(dtype)
             y = jax.lax.conv_general_dilated(
                 x, kp, (1, 1), padding=((p + 1, p + 1), (p + 1, p + 1)),
                 lhs_dilation=(2, 2),
