@@ -5,7 +5,7 @@ Loads audio, degrades it to LR on-device (down-up resample unless
 --is_lr_input, audio_dataset.py:169-177), unfolds into overlapping segments,
 runs the jitted inference stack (MDCT -> G -> IMDCT) in batches, stitches via
 edge-halving overlap-add (generate_audio.py:40-51), then writes
-MSE/SNR/LSD + sr/lr/hr WAVs to checkpoints/<name>/.
+MSE/SNR/SNRseg/LSD + sr/lr/hr WAVs to checkpoints/<name>/.
 
 Uses TrainOptions like the reference (generate_audio.py:13 — it needs the STFT
 flags that only TrainOptions defines).
@@ -119,12 +119,14 @@ def _process_file(path, opt, cfg, transform, infer, g_vars):
         jnp.asarray(lr_np[:audio_len])[None],
         jnp.asarray(sr[:audio_len])[None],
         cfg.n_fft, cfg.hop_length, cfg.win_length, cfg.center,
+        fs=cfg.hr_sampling_rate,
     )
     host = jax.device_get(m)  # keep m's key order (pytrees sort dict keys)
     metrics = {k: float(host[k]) for k in m}
     print(f"MSE: {metrics['mse']:.4f}")
     print(f"SNR_SR: {metrics['snr_sr']:.4f}")
     print(f"SNR_LR: {metrics['snr_lr']:.4f}")
+    print(f"SNR_SEG: {metrics['snr_seg']:.4f}")
     print(f"LSD: {metrics['lsd']:.4f}")
     return sr[:audio_len], lr_np[:audio_len], hr, ds.in_sampling_rate, metrics
 

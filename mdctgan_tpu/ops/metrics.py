@@ -1,10 +1,13 @@
-"""Audio-quality metrics: MSE, SNR, LSD.
+"""Audio-quality metrics: MSE, SNR, segmental SNR, LSD.
 
 Port of the reference ``compute_matrics`` (util/util.py:132-177).  LSD is
 computed from a 2x-resolution STFT power spectrogram with a KBD window
 (util/util.py:171-175): log10(|STFT|^2 + 1e-6), RMSE over frequency, mean.
-PESQ/segmental-SNR are stubbed out in the reference (pysepm removed) and
-therefore intentionally absent here too.
+The reference stubs out segmental SNR and PESQ (pysepm removed; the dead
+calls at util/util.py:146-168 would have used ``pysepm.SNRseg``/``pesq``
+and write constant zeros into eval.csv).  Segmental SNR is implemented
+natively here with the pysepm.SNRseg recipe so the column is live; PESQ
+(ITU-T P.862, a full psychoacoustic model) stays absent.
 """
 
 from __future__ import annotations
@@ -29,6 +32,47 @@ def snr_db(signal: Array, estimate: Array) -> Array:
     num = jnp.sum(signal ** 2, axis=-1)
     den = jnp.sum((signal - estimate) ** 2, axis=-1)
     return jnp.mean(10.0 * jnp.log10(num / jnp.maximum(den, 1e-20)))
+
+
+def snr_seg(
+    signal: Array,
+    estimate: Array,
+    fs: int,
+    frame_len: float = 0.03,
+    overlap: float = 0.75,
+    min_snr: float = -10.0,
+    max_snr: float = 35.0,
+) -> Array:
+    """Segmental SNR of `estimate` against `signal`, pysepm.SNRseg recipe
+    (the call the reference left commented at util/util.py:146-148): 30 ms
+    Hann-windowed frames at 75% overlap, per-frame SNR clamped to
+    [-10, 35] dB, last (partial-energy) frame dropped, mean over frames."""
+    eps = float(np.finfo(np.float64).eps)
+    winlength = int(round(frame_len * fs))
+    skiprate = int(np.floor((1.0 - overlap) * frame_len * fs))
+    t = signal.shape[-1]
+    if t < winlength:
+        raise ValueError(
+            f"snr_seg needs at least one {winlength}-sample frame "
+            f"({1e3 * frame_len:g} ms at {fs} Hz); got {t} samples"
+        )
+    n_frames = 1 + (t - winlength) // skiprate
+    # pysepm's Hann variant: 0.5*(1-cos(2*pi*(1..N)/(N+1)))
+    n = np.arange(1, winlength + 1)
+    window = 0.5 * (1.0 - np.cos(2.0 * np.pi * n / (winlength + 1)))
+    idx = (
+        np.arange(n_frames)[:, None] * skiprate + np.arange(winlength)[None, :]
+    )
+    w = jnp.asarray(window, signal.dtype)
+    sf = signal[..., idx] * w
+    ef = estimate[..., idx] * w
+    sig_energy = jnp.sum(sf**2, axis=-1)
+    noise_energy = jnp.sum((sf - ef) ** 2, axis=-1)
+    seg = 10.0 * jnp.log10(sig_energy / (noise_energy + eps) + eps)
+    seg = jnp.clip(seg, min_snr, max_snr)
+    if n_frames > 1:
+        seg = seg[..., :-1]  # pysepm drops the last (partial-energy) frame
+    return jnp.mean(seg)
 
 
 def stft_power(
@@ -80,11 +124,14 @@ def compute_metrics(
     hop_length: int = 256,
     win_length: int = 512,
     center: bool = True,
+    fs: int = 48000,
 ) -> Dict[str, Array]:
-    """The reference's metric tuple as a dict: MSE, SNR(SR), SNR(LR), LSD."""
+    """The reference's metric tuple as a dict: MSE, SNR(SR), SNR(LR),
+    segmental SNR(SR) (live here, a dead zero in the reference), LSD."""
     return {
         "mse": mse(hr_audio, sr_audio),
         "snr_sr": snr_db(hr_audio, sr_audio),
         "snr_lr": snr_db(hr_audio, lr_audio),
+        "snr_seg": snr_seg(hr_audio, sr_audio, fs),
         "lsd": lsd(hr_audio, sr_audio, n_fft, hop_length, win_length, center),
     }

@@ -246,7 +246,8 @@ def main() -> None:
             _, sr_audio = infer_fn(g_vars, lr_dev)
             m = compute_metrics(hr_dev[:k], lr_dev[:k],
                                 sr_audio[:k, ..., : cfg.segment_length],
-                                cfg.n_fft, cfg.hop_length, cfg.win_length, cfg.center)
+                                cfg.n_fft, cfg.hop_length, cfg.win_length,
+                                cfg.center, fs=cfg.hr_sampling_rate)
             # one transfer per eval batch (per-value float() pays a tunnel
             # round-trip each); keep m's key ORDER — device_get's pytree
             # flattening sorts dict keys, and eval.csv columns must stay

@@ -239,7 +239,7 @@ def test_train_debug_smoke(tmp_path, wav_csv):
     # eval.csv column ORDER is part of the file contract (appends across
     # resumes must align): metrics in compute_metrics insertion order.
     header = (ckpt / "smoke" / "eval.csv").read_text().splitlines()[0]
-    assert header == "step,epoch,mse,snr_sr,snr_lr,lsd"
+    assert header == "step,epoch,mse,snr_sr,snr_lr,snr_seg,lsd"
 
 
 def test_generate_audio_smoke(tmp_path, wav_csv):

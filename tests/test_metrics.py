@@ -7,8 +7,28 @@ layout) in NumPy."""
 import numpy as np
 import jax.numpy as jnp
 
-from mdctgan_tpu.ops.metrics import compute_metrics, lsd, snr_db
+from mdctgan_tpu.ops.metrics import compute_metrics, lsd, snr_db, snr_seg
 from mdctgan_tpu.ops.window import kbd_window
+
+
+def _pysepm_snr_seg(clean, processed, fs, frame_len=0.03, overlap=0.75):
+    """float64 transcription of pysepm.SNRseg (the metric the reference's
+    dead code at util/util.py:146-148 would have called)."""
+    eps = np.finfo(np.float64).eps
+    winlength = int(round(frame_len * fs))
+    skiprate = int(np.floor((1 - overlap) * frame_len * fs))
+    n = np.arange(1, winlength + 1)
+    window = 0.5 * (1 - np.cos(2 * np.pi * n / (winlength + 1)))
+    step = skiprate
+    n_frames = (clean.shape[-1] - (winlength - skiprate)) // step
+    idx = np.arange(n_frames)[:, None] * step + np.arange(winlength)[None, :]
+    cf = clean[..., idx] * window
+    pf = processed[..., idx] * window
+    sig = np.sum(cf**2, -1)
+    noi = np.sum((cf - pf) ** 2, -1)
+    seg = 10 * np.log10(sig / (noi + eps) + eps)
+    seg = np.clip(seg, -10.0, 35.0)[..., :-1]
+    return np.mean(seg)
 
 
 def _np_stft_power(x, n_fft, hop, win, window, center=True):
@@ -55,6 +75,43 @@ def test_metrics_match_reference_recipe(rng):
     np.testing.assert_allclose(float(m["snr_sr"]), m_ref[1], rtol=1e-4)
     np.testing.assert_allclose(float(m["snr_lr"]), m_ref[2], rtol=1e-4)
     np.testing.assert_allclose(float(m["lsd"]), m_ref[3], rtol=1e-3)
+
+
+def test_snr_seg_matches_pysepm_recipe(rng):
+    fs = 48000
+    t = 32512
+    hr = rng.standard_normal((2, t)).astype(np.float64) * 0.3
+    sr = hr + 0.05 * rng.standard_normal((2, t))
+    ref = _pysepm_snr_seg(hr, sr, fs)
+    got = float(snr_seg(jnp.asarray(hr, jnp.float32),
+                        jnp.asarray(sr, jnp.float32), fs))
+    np.testing.assert_allclose(got, ref, rtol=1e-3)
+    # at 16 kHz the frame geometry changes (480-sample frames, 120 hop)
+    ref16 = _pysepm_snr_seg(hr[..., :16000], sr[..., :16000], 16000)
+    got16 = float(snr_seg(jnp.asarray(hr[..., :16000], jnp.float32),
+                          jnp.asarray(sr[..., :16000], jnp.float32), 16000))
+    np.testing.assert_allclose(got16, ref16, rtol=1e-3)
+
+
+def test_snr_seg_clamps(rng):
+    x = jnp.asarray(rng.standard_normal((1, 32512)), jnp.float32)
+    # identical signals: every frame pins at the +35 dB cap
+    assert float(snr_seg(x, x, 48000)) == 35.0
+    # anti-correlated noise dominating: pins at the -10 dB floor
+    assert float(snr_seg(x, -100.0 * x, 48000)) == -10.0
+
+
+def test_compute_metrics_includes_snr_seg(rng):
+    t = 8192
+    hr = rng.standard_normal((2, t)).astype(np.float64) * 0.3
+    sr = hr + 0.05 * rng.standard_normal((2, t))
+    m = compute_metrics(jnp.asarray(hr, jnp.float32),
+                        jnp.asarray(hr, jnp.float32),
+                        jnp.asarray(sr, jnp.float32), fs=48000)
+    assert list(m) == ["mse", "snr_sr", "snr_lr", "snr_seg", "lsd"]
+    np.testing.assert_allclose(
+        float(m["snr_seg"]), _pysepm_snr_seg(hr, sr, 48000), rtol=1e-3
+    )
 
 
 def test_snr_identity_is_infinite_free(rng):
