@@ -24,6 +24,14 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA compile cache (same store the CLIs default to): the suite
+# spends most of its wall time in CPU compiles, and cache keys include the
+# backend + compile options, so CPU-mesh test entries coexist with the CLIs'
+# TPU entries.  First run populates; subsequent runs are much faster.
+from mdctgan_tpu.parallel.mesh import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache(os.path.expanduser("~/.cache/mdctgan_tpu_xla"))
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
