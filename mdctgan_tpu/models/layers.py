@@ -332,13 +332,13 @@ class _UpsampledConvInner(nn.Module):
         re-measurement on other TPU generations.
       * ``dense`` — materialize the 2x tensor (the naive form; kept as the
         numerics oracle and A/B baseline).
-    ``auto`` = dilated; MDCTGAN_UPSAMPLE_METHOD overrides.
+    ``auto`` resolves via the MDCTGAN_UPSAMPLE_METHOD A/B hook, else to
+    dilated; an explicitly-constructed method ignores the env var.
     """
 
     features: int
     kernel: int
     padding: int
-    min_batch: int = 8
     method: str = "auto"
     dtype: Optional[Any] = None
 
@@ -354,14 +354,16 @@ class _UpsampledConvInner(nn.Module):
         dtype = self.dtype or x.dtype
         kern = kernel.astype(dtype)
         x = x.astype(dtype)
-        method = os.environ.get("MDCTGAN_UPSAMPLE_METHOD", self.method)
+        method = self.method
+        if method == "auto":
+            # the A/B hook only resolves "auto" — an explicitly-constructed
+            # method is never silently overridden by a leftover env var
+            method = os.environ.get("MDCTGAN_UPSAMPLE_METHOD", "auto")
         if method == "auto":
             # dilated wins at every measured batch (train 91.9->77.8 ms/step;
             # batch-1 inference 1.85->1.58 ms/segment)
             method = "dilated"
         if method == "dense":
-            # Small batches are kernel-byte/formatting bound: the fused
-            # forms cost more than they save (measured at batch 1 on v5e).
             xu = upsample_nearest_2x(x)
             xu = jnp.pad(xu, ((0, 0), (p, p), (p, p), (0, 0)))
             y = jax.lax.conv_general_dilated(
@@ -437,13 +439,12 @@ class UpsampledConv(nn.Module):
     features: int
     kernel: int
     padding: int
-    min_batch: int = 8
     dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         return _UpsampledConvInner(
-            self.features, self.kernel, self.padding, self.min_batch,
+            self.features, self.kernel, self.padding,
             dtype=self.dtype, name="conv",
         )(x)
 

@@ -46,16 +46,16 @@ def snr_seg(
     """Segmental SNR of `estimate` against `signal`, pysepm.SNRseg recipe
     (the call the reference left commented at util/util.py:146-148): 30 ms
     Hann-windowed frames at 75% overlap, per-frame SNR clamped to
-    [-10, 35] dB, last (partial-energy) frame dropped, mean over frames."""
+    [-10, 35] dB, last (partial-energy) frame dropped, mean over frames.
+
+    Audio shorter than one frame has no defined segmental SNR; returns NaN
+    rather than raising so batch metric runs survive degenerate clips."""
     eps = float(np.finfo(np.float64).eps)
     winlength = int(round(frame_len * fs))
     skiprate = int(np.floor((1.0 - overlap) * frame_len * fs))
     t = signal.shape[-1]
     if t < winlength:
-        raise ValueError(
-            f"snr_seg needs at least one {winlength}-sample frame "
-            f"({1e3 * frame_len:g} ms at {fs} Hz); got {t} samples"
-        )
+        return jnp.asarray(jnp.nan, signal.dtype)
     n_frames = 1 + (t - winlength) // skiprate
     # pysepm's Hann variant: 0.5*(1-cos(2*pi*(1..N)/(N+1)))
     n = np.arange(1, winlength + 1)

@@ -256,10 +256,25 @@ def main() -> None:
             rows.append({k: float(host[k]) for k in m})
         if rows and is_main:  # one eval.csv writer under multihost
             avg = {k: float(np.mean([r[k] for r in rows])) for k in rows[0]}
+            want = "step,epoch," + ",".join(avg)
             header = not os.path.exists(eval_csv)
+            if not header:
+                with open(eval_csv) as f:
+                    have = f.readline().rstrip("\n")
+                if have != want:
+                    # column set changed across versions (e.g. snr_seg went
+                    # live): never append misaligned rows under an old
+                    # header — rotate the old file aside and start fresh
+                    n = 1
+                    while os.path.exists(f"{eval_csv}.bak{n}"):
+                        n += 1
+                    os.replace(eval_csv, f"{eval_csv}.bak{n}")
+                    print(f"[eval] eval.csv columns changed; previous file "
+                          f"kept as eval.csv.bak{n}")
+                    header = True
             with open(eval_csv, "a") as f:
                 if header:
-                    f.write("step,epoch," + ",".join(avg) + "\n")
+                    f.write(want + "\n")
                 f.write(f"{step},{epoch}," + ",".join(f"{v:.6f}" for v in avg.values()) + "\n")
             print(f"[eval] step {step}: " +
                   " ".join(f"{k}={v:.4f}" for k, v in avg.items()))

@@ -30,7 +30,12 @@ jax.config.update("jax_platforms", "cpu")
 # TPU entries.  First run populates; subsequent runs are much faster.
 from mdctgan_tpu.parallel.mesh import enable_compilation_cache  # noqa: E402
 
-enable_compilation_cache(os.path.expanduser("~/.cache/mdctgan_tpu_xla"))
+_CACHE = os.path.expanduser("~/.cache/mdctgan_tpu_xla")
+enable_compilation_cache(_CACHE)
+# env-var form so SUBPROCESSES (multihost test workers, CLI smoke runs)
+# share the cache too
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _CACHE)
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
@@ -39,3 +44,12 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True)
+def _scrub_perf_ab_env(monkeypatch):
+    """The perf A/B hooks (CLAUDE.md) are trace-time env overrides; a value
+    left over from an A/B shell session must not leak into tests that
+    construct specific conv forms."""
+    monkeypatch.delenv("MDCTGAN_UPSAMPLE_METHOD", raising=False)
+    monkeypatch.delenv("MDCTGAN_HEAD_PHASES", raising=False)

@@ -214,6 +214,11 @@ def _run(args, cwd=REPO, timeout=900):
 
 def test_train_debug_smoke(tmp_path, wav_csv):
     ckpt = tmp_path / "ck"
+    # pre-seed an old-column-era eval.csv: the writer must rotate it aside
+    # rather than append misaligned rows under the stale header
+    (ckpt / "smoke").mkdir(parents=True)
+    old = "step,epoch,mse,snr_sr,snr_lr,lsd\n1,1,0.5,1.0,1.0,2.0\n"
+    (ckpt / "smoke" / "eval.csv").write_text(old)
     r = _run([
         "train.py", "--name", "smoke", "--checkpoints_dir", str(ckpt),
         "--dataroot", str(wav_csv), "--evalroot", str(wav_csv),
@@ -240,6 +245,8 @@ def test_train_debug_smoke(tmp_path, wav_csv):
     # resumes must align): metrics in compute_metrics insertion order.
     header = (ckpt / "smoke" / "eval.csv").read_text().splitlines()[0]
     assert header == "step,epoch,mse,snr_sr,snr_lr,snr_seg,lsd"
+    # the stale-header file was rotated aside intact
+    assert (ckpt / "smoke" / "eval.csv.bak1").read_text() == old
 
 
 def test_generate_audio_smoke(tmp_path, wav_csv):

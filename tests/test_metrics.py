@@ -93,6 +93,13 @@ def test_snr_seg_matches_pysepm_recipe(rng):
     np.testing.assert_allclose(got16, ref16, rtol=1e-3)
 
 
+def test_snr_seg_short_audio_is_nan(rng):
+    # < one 30 ms frame (1440 samples at 48 kHz): NaN, not a crash — batch
+    # metric runs must survive degenerate clips
+    x = jnp.asarray(rng.standard_normal((1, 1000)), jnp.float32)
+    assert np.isnan(float(snr_seg(x, x, 48000)))
+
+
 def test_snr_seg_clamps(rng):
     x = jnp.asarray(rng.standard_normal((1, 32512)), jnp.float32)
     # identical signals: every frame pins at the +35 dB cap

@@ -272,7 +272,7 @@ def test_upsampled_conv_matches_dense(rng, k, p):
 
     for h, w in ((6, 9), (8, 8)):
         x = jnp.asarray(rng.standard_normal((2, h, w, 3)), jnp.float32)
-        mod = UpsampledConv(4, k, p, min_batch=1)
+        mod = UpsampledConv(4, k, p)
         params = mod.init(jax.random.PRNGKey(0), x)
         got = np.asarray(mod.apply(params, x))
         ref = np.asarray(_dense_upsample_conv(x, params, k, p))
@@ -286,7 +286,7 @@ def test_upsampled_conv_grads_match_dense(rng):
     from mdctgan_tpu.models.layers import UpsampledConv
 
     x = jnp.asarray(rng.standard_normal((1, 6, 7, 3)), jnp.float32)
-    mod = UpsampledConv(4, 5, 1, min_batch=1)
+    mod = UpsampledConv(4, 5, 1)
     params = mod.init(jax.random.PRNGKey(0), x)
 
     g1 = jax.grad(lambda p: jnp.sum(jnp.sin(mod.apply(p, x))))(params)
@@ -301,17 +301,19 @@ def test_upsampled_conv_grads_match_dense(rng):
     )
 
 
-def test_upsampled_conv_small_batch_dense_path(rng):
+def test_upsampled_conv_batch1_matches_dense(rng):
+    """Batch-1 (inference) geometry through the default auto->dilated path
+    equals the explicit dense oracle."""
     import jax
     import jax.numpy as jnp
-    from mdctgan_tpu.models.layers import UpsampledConv
+    from mdctgan_tpu.models.layers import _UpsampledConvInner
 
     x = jnp.asarray(rng.standard_normal((1, 6, 7, 3)), jnp.float32)
-    poly = UpsampledConv(4, 5, 1, min_batch=1)
-    dense = UpsampledConv(4, 5, 1, min_batch=8)  # batch 1 -> dense path
-    params = poly.init(jax.random.PRNGKey(0), x)
+    auto = _UpsampledConvInner(4, 5, 1)
+    dense = _UpsampledConvInner(4, 5, 1, method="dense")
+    params = auto.init(jax.random.PRNGKey(0), x)
     np.testing.assert_allclose(
-        np.asarray(dense.apply(params, x)), np.asarray(poly.apply(params, x)),
+        np.asarray(dense.apply(params, x)), np.asarray(auto.apply(params, x)),
         atol=1e-5,
     )
 
@@ -329,7 +331,7 @@ def test_upsampled_conv_methods_agree(rng):
         x = jnp.asarray(rng.standard_normal((2, 6, 10, 8)), jnp.float32)
         outs = {}
         for method in ("dense", "phase", "dilated"):
-            m = _UpsampledConvInner(4, k, p, min_batch=1, method=method)
+            m = _UpsampledConvInner(4, k, p, method=method)
             v = m.init(jax.random.PRNGKey(0), x)
             outs[method] = np.asarray(m.apply(v, x))
         np.testing.assert_allclose(outs["phase"], outs["dense"], atol=1e-5)

@@ -50,7 +50,7 @@ def conv_phase(x, K, p):
     from mdctgan_tpu.models.layers import _UpsampledConvInner
 
     k = K.shape[0]
-    m = _UpsampledConvInner(K.shape[-1], k, p, min_batch=1)
+    m = _UpsampledConvInner(K.shape[-1], k, p, method="phase")
     return m.apply({"params": {"kernel": K,
                                "bias": jnp.zeros((K.shape[-1],))}}, x)
 
