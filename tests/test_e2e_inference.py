@@ -119,3 +119,71 @@ def test_e2e_inference_gentle_constants(rng):
     ref_sr, ref_audio, sr, sr_audio = _run_both(rng, cfg)
     np.testing.assert_allclose(sr, ref_sr, atol=5e-4)
     np.testing.assert_allclose(sr_audio, ref_audio, atol=2e-2)
+
+
+# ---------------------------------------------------------------------- #
+# non-arcsinh (dB) path: per-sample norm params, sign reattach, and the
+# reference's pseudo-phase-along-FRAMES quirk (pix2pixHD_model.py:150-157
+# splits dim=-2 while the mask splits dim=3)
+# ---------------------------------------------------------------------- #
+
+DB_GEN_CFG = dict(GEN_CFG, input_nc=1)  # no abs channel without arcsinh
+
+
+def _oracle_infer_db(torch_model, lr_audio, cfg):
+    """Float64/torch replica of the dB-path inference chain
+    (pix2pixHD_model.py:102-106 normalize, :139-163 to_audio)."""
+    w = np.asarray(kbd_window(cfg.n_fft), np.float64)
+    spec = reference_mdct4(
+        lr_audio.astype(np.float64), cfg.n_fft, cfg.hop_length, w,
+        center=cfg.center,
+    )[:, None]
+    pha = np.sign(spec)
+    n0, n1 = cfg.norm_range
+    y = 20.0 * np.log10(np.maximum(np.abs(spec) + cfg.min_value,
+                                   cfg.min_value)) - 20.0
+    hi = y.max(axis=(-2, -1), keepdims=True)
+    lo = y.min(axis=(-2, -1), keepdims=True)
+    lr_spec = (y - lo) / (hi - lo) * (n1 - n0) + n0
+    with torch.no_grad():
+        sr = torch_model(torch.from_numpy(lr_spec.astype(np.float32)))
+    sr = sr.numpy().astype(np.float64)
+    lr_part = int(sr.shape[-1] / cfg.up_ratio)
+    sr[..., :lr_part] *= 1e-3
+    sr = sr + lr_spec
+    x = (sr - n0) / (n1 - n0) * (hi - lo) + lo
+    mag = 10.0 * np.power(10.0, x * 0.5 / 10.0) - cfg.min_value
+    # sign reattach + constant +1 pseudo phase (rng=None) split along dim=-2
+    lr_rows = int(pha.shape[-2] * (1 / cfg.up_ratio))
+    pha_full = np.concatenate(
+        (pha[..., :lr_rows, :], np.ones_like(pha)[..., lr_rows:, :]), axis=-2)
+    spec_out = mag * pha_full
+    audio = reference_imdct4(
+        spec_out[:, 0], cfg.n_fft, cfg.hop_length, w, center=cfg.center
+    )[..., : cfg.segment_length]
+    return sr, audio
+
+
+def test_e2e_inference_db_path(rng):
+    cfg = _spectral_cfg(arcsinh_transform=False, abs_norm=False,
+                        norm_range=(0.0, 1.0))
+    torch_model = _torch_local(DB_GEN_CFG)
+    _randomize(torch_model, rng)
+    torch_model.eval()
+    flax_model = _flax_local(DB_GEN_CFG)
+    params, stats = import_torch.import_generator(
+        torch_model.state_dict(), flax_model)
+    g_vars = {"params": params, "batch_stats": stats}
+
+    lr_audio = (0.1 * rng.standard_normal((2, cfg.segment_length))).astype(
+        np.float32)
+    ref_sr, ref_audio = _oracle_infer_db(torch_model, lr_audio, cfg)
+
+    transform = SpectralTransform(cfg)
+    infer = build_inference_fn(
+        flax_model, transform, out_length=cfg.segment_length)
+    sr, sr_audio = infer(g_vars, jnp.asarray(lr_audio))
+    np.testing.assert_allclose(np.asarray(sr), ref_sr, atol=1e-3)
+    scale = np.abs(ref_audio).max()
+    np.testing.assert_allclose(
+        np.asarray(sr_audio), ref_audio, atol=1e-2 * scale)
