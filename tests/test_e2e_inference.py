@@ -164,6 +164,69 @@ def _oracle_infer_db(torch_model, lr_audio, cfg):
     return sr, audio
 
 
+def _oracle_infer_explicit(torch_model, lr_audio, cfg):
+    """Float64/torch replica of the explicit_encoding (dual-channel +/-dB)
+    chain (pix2pixHD_model.py:84-95 normalize, :143-145 decode)."""
+    w = np.asarray(kbd_window(cfg.n_fft), np.float64)
+    spec = reference_mdct4(
+        lr_audio.astype(np.float64), cfg.n_fft, cfg.hop_length, w,
+        center=cfg.center,
+    )[:, None]
+    neg = 0.5 * (np.abs(spec) - spec)
+    pos = spec + neg
+    a = cfg.alpha
+
+    def db(x):
+        return 20.0 * np.log10(np.maximum(x, cfg.min_value)) - 20.0
+
+    y = np.concatenate(
+        (db(a * pos + (1 - a) * neg), db((1 - a) * pos + a * neg)), axis=1)
+    n0, n1 = cfg.norm_range
+    hi = y.max(axis=(-2, -1), keepdims=True)
+    lo = y.min(axis=(-2, -1), keepdims=True)
+    lr_spec = (y - lo) / (hi - lo) * (n1 - n0) + n0
+    with torch.no_grad():
+        sr = torch_model(torch.from_numpy(lr_spec.astype(np.float32)))
+    sr = sr.numpy().astype(np.float64)
+    lr_part = int(sr.shape[-1] / cfg.up_ratio)
+    sr[..., :lr_part] *= 1e-3
+    sr = sr + lr_spec
+    x = (sr - n0) / (n1 - n0) * (hi - lo) + lo
+    mag = 10.0 * np.power(10.0, x * 0.5 / 10.0) - cfg.min_value
+    spec_out = (mag[:, 0] - mag[:, 1]) / (2 * a - 1)
+    audio = reference_imdct4(
+        spec_out, cfg.n_fft, cfg.hop_length, w, center=cfg.center
+    )[..., : cfg.segment_length]
+    return sr, audio
+
+
+def test_e2e_inference_explicit_encoding(rng):
+    cfg = _spectral_cfg(arcsinh_transform=False, explicit_encoding=True,
+                        abs_spectro=False, abs_norm=False,
+                        norm_range=(0.0, 1.0))
+    gen_cfg = dict(GEN_CFG, input_nc=2, output_nc=2)
+    torch_model = _torch_local(gen_cfg)
+    _randomize(torch_model, rng)
+    torch_model.eval()
+    flax_model = _flax_local(gen_cfg)
+    params, stats = import_torch.import_generator(
+        torch_model.state_dict(), flax_model)
+    g_vars = {"params": params, "batch_stats": stats}
+
+    lr_audio = (0.1 * rng.standard_normal((2, cfg.segment_length))).astype(
+        np.float32)
+    ref_sr, ref_audio = _oracle_infer_explicit(torch_model, lr_audio, cfg)
+
+    transform = SpectralTransform(cfg)
+    infer = build_inference_fn(
+        flax_model, transform, out_length=cfg.segment_length)
+    sr, sr_audio = infer(g_vars, jnp.asarray(lr_audio))
+    np.testing.assert_allclose(np.asarray(sr), ref_sr, atol=1e-3)
+    scale = np.abs(ref_audio).max()
+    np.testing.assert_allclose(
+        np.asarray(sr_audio), ref_audio, atol=1e-2 * scale)
+
+
 def test_e2e_inference_db_path(rng):
     cfg = _spectral_cfg(arcsinh_transform=False, abs_norm=False,
                         norm_range=(0.0, 1.0))
