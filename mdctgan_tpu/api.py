@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mdctgan_tpu.data.dataset import AudioAppDataset, overlap_add_segments
+from mdctgan_tpu.data.dataset import AudioAppDataset
 from mdctgan_tpu.models.discriminator import build_discriminator
 from mdctgan_tpu.models.generator import build_generator
 from mdctgan_tpu.ops.features import SpectralTransform
@@ -122,6 +122,4 @@ def upsample(
         _, sr_audio = model.inference(g_vars, jnp.asarray(segments[i : i + batch_size]))
         outs.append(np.asarray(sr_audio[..., : cfg.segment_length]))
     sr_segments = np.concatenate(outs)[:n]
-    if gen_overlap > 0:
-        return overlap_add_segments(sr_segments, cfg.segment_length, gen_overlap)
-    return sr_segments.reshape(-1)
+    return ds.stitch(sr_segments)

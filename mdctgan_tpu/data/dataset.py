@@ -152,6 +152,21 @@ class AudioTestDataset:
             return padded[idx]
         return np.pad(audio, (0, seg - length))[None, :]
 
+    def stitch(self, segments: np.ndarray) -> np.ndarray:
+        """Reassemble generated segments; the inverse of ``segments_of``.
+
+        The short-file branch above pads the TAIL only (mirroring the
+        reference, audio_dataset.py:163-166), so its lone segment must NOT
+        go through the edge-halving overlap-add — the reference's fold
+        (generate_audio.py:40-51) would attenuate the first ``overlap`` real
+        samples and shift the whole clip (a reference edge bug; fixed here,
+        recorded in PARITY.md)."""
+        if self.overlap == 0 or self.audio_len < self.segment_length:
+            return np.asarray(segments).reshape(-1)
+        return overlap_add_segments(
+            np.asarray(segments), self.segment_length, self.overlap
+        )
+
 
 class AudioAppDataset(AudioTestDataset):
     """In-memory variant: takes a waveform array + its sample rate instead of

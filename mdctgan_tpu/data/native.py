@@ -207,6 +207,16 @@ class NativePrefetcher:
             self._lib.audioio_prefetcher_destroy(self._handle)
             self._handle = None
 
+    def leak(self) -> None:
+        """Abandon the C++ object WITHOUT destroying it.
+
+        For shutdown paths where a worker thread may still be blocked inside
+        ``audioio_prefetcher_next`` (InputPipeline.close): destroying the
+        handle there is a use-after-free, and without this poisoning the
+        eventual ``__del__`` would do exactly that.  The object is leaked
+        deliberately — process teardown reclaims it."""
+        self._handle = None
+
     def __del__(self):
         try:
             self.close()

@@ -167,6 +167,11 @@ class InputPipeline:
         # Only tear down the native prefetcher once the worker thread is
         # gone: destroying it while the thread is blocked inside
         # audioio_prefetcher_next would free the C++ object under a live
-        # call (use-after-free).  Leak it instead on a stuck shutdown.
-        if self._prefetcher is not None and not self._thread.is_alive():
-            self._prefetcher.close()
+        # call (use-after-free).  On a stuck shutdown, poison the handle
+        # (leak) so the prefetcher's later __del__ cannot destroy it under
+        # the still-blocked thread either.
+        if self._prefetcher is not None:
+            if self._thread.is_alive():
+                self._prefetcher.leak()
+            else:
+                self._prefetcher.close()

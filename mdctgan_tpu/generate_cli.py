@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from mdctgan_tpu.data import native
-from mdctgan_tpu.data.dataset import AudioTestDataset, overlap_add_segments
+from mdctgan_tpu.data.dataset import AudioTestDataset
 from mdctgan_tpu.models.generator import build_generator
 from mdctgan_tpu.ops.features import SpectralTransform
 from mdctgan_tpu.ops.metrics import compute_metrics
@@ -105,10 +105,7 @@ def _process_file(path, opt, cfg, transform, infer, g_vars):
         outs.append(sr_audio[..., : cfg.segment_length])
     sr_segments = np.concatenate([np.asarray(o) for o in outs])[:n]
 
-    if opt.gen_overlap > 0:
-        sr = overlap_add_segments(sr_segments, cfg.segment_length, opt.gen_overlap)
-    else:
-        sr = sr_segments.reshape(-1)
+    sr = ds.stitch(sr_segments)
     # With gen_overlap > 0 the unfold can drop a sub-stride tail, leaving the
     # stitched SR shorter than the input (the reference crashes there,
     # generate_audio.py:57-60); crop everything to the common length instead.

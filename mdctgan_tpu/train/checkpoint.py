@@ -54,10 +54,8 @@ class CheckpointManager:
         that epoch (the reference's ``model.save(epoch)``, train.py:249-254):
         it becomes addressable via --which_epoch and is kept forever."""
         if epoch_label is not None:
+            # in-memory first (should_keep_fn consults it at prune time) ...
             self._epoch_index[int(epoch_label)] = int(state.step)
-            if jax.process_index() == 0:  # one writer under multihost
-                with open(self._index_path, "w") as f:
-                    json.dump(self._epoch_index, f)
         payload = {
             "state": state,
             # "units" versions the cursor: epoch_iter counts SAMPLES
@@ -67,6 +65,12 @@ class CheckpointManager:
                        "units_samples": 1},
         }
         self._mgr.save(int(state.step), args=ocp.args.StandardSave(payload))
+        if epoch_label is not None and jax.process_index() == 0:
+            # ... but persist the index only after the save is enqueued, so
+            # a crash before the save leaves no phantom epoch entry pointing
+            # at a step that never landed (one writer under multihost)
+            with open(self._index_path, "w") as f:
+                json.dump(self._epoch_index, f)
 
     def resolve_epoch(self, which_epoch: Union[str, int]) -> Optional[int]:
         """--which_epoch -> orbax step: 'latest' -> newest save; an integer
@@ -86,7 +90,17 @@ class CheckpointManager:
                 f"{self.directory} (available epochs: "
                 f"{sorted(self._epoch_index)})"
             )
-        return self._epoch_index[epoch]
+        step = self._epoch_index[epoch]
+        if step not in self._mgr.all_steps():
+            # a stale index entry (e.g. the epoch-end save was interrupted
+            # after an older index write) must fail cleanly, not as a raw
+            # orbax error for a nonexistent step directory
+            raise FileNotFoundError(
+                f"epoch_index.json maps epoch {epoch} to step {step}, but "
+                f"that checkpoint does not exist under {self.directory} "
+                f"(available steps: {sorted(self._mgr.all_steps())})"
+            )
+        return step
 
     def wait(self) -> None:
         self._mgr.wait_until_finished()

@@ -45,6 +45,13 @@ def param_labels(
         if fix_global and not is_local:
             return "frozen"
         if is_local:
+            # The reference does NOT apply the class rule to the enhancer:
+            # freeze_local_d freezes ALL of model1_1 (the ReflectionPad/7x7
+            # stem + one downsample conv) and freeze_local_u freezes ALL of
+            # model1_2 — resblocks, attention downs, upsamples AND the tanh
+            # head (networks.py:286-298 iterate whole Sequentials).  So only
+            # local_stem/local_down are 'down'; local_head and
+            # local_attn_down* belong to the up group.
             down = parts[0].endswith(("local_stem", "local_down"))
             if down and freeze_l_d:
                 return "frozen"

@@ -59,10 +59,16 @@ def load_generator_vars(opt, generator, cfg) -> Dict:
     # structure-agnostic.
     import jax.numpy as jnp
 
-    tmpl_vars = generator.init(
+    # Shapes-only template: orbax PyTreeRestore accepts abstract leaves, and
+    # a real Module.init here would pay a device compile per invocation
+    # (minutes for the flagship through the remote tunnel) just to be a
+    # shape/dtype donor.
+    tmpl_vars = jax.eval_shape(
+        lambda k, x: generator.init(k, x, train=False),
         jax.random.PRNGKey(0),
-        jnp.zeros((1, cfg.n_bins, cfg.n_fft // 2, opt.input_nc)),
-        train=False,
+        jax.ShapeDtypeStruct(
+            (1, cfg.n_bins, cfg.n_fft // 2, opt.input_nc), jnp.float32
+        ),
     )
     mgr = ckpt_mod.CheckpointManager(os.path.join(opt.load_pretrain, "ckpt"))
     # --which_epoch N selects the end-of-epoch-N checkpoint via the

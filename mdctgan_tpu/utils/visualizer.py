@@ -86,6 +86,8 @@ class Visualizer:
         """Render spectrogram visuals to TB images + HTML gallery
         (visualizer.py:36-84).  ``visuals`` maps label -> (F, K) normalized
         spectrogram (or None)."""
+        if self._writer is None and not self.use_html:
+            return  # no sink — skip the matplotlib renders entirely
         images = {}
         for label, spec in visuals.items():
             if spec is None:

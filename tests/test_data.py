@@ -123,6 +123,31 @@ def test_overlap_add_roundtrip(rng):
     np.testing.assert_allclose(out, x[ov : ov + len(out)], atol=1e-5)
 
 
+def test_short_clip_overlap_stitch_identity(rng):
+    """A clip shorter than one segment yields ONE tail-padded segment (the
+    reference pads no head there, audio_dataset.py:163-166), so stitch()
+    must bypass the edge-halving overlap-add — which would attenuate the
+    first `overlap` real samples and shift the clip (reference edge bug,
+    fixed here; PARITY.md deviations)."""
+    from mdctgan_tpu.data.dataset import AudioAppDataset
+
+    seg, ov, n = 256, 32, 100
+    audio = rng.standard_normal(n).astype(np.float32)
+    ds = AudioAppDataset(audio, 48000, segment_length=seg, overlap=ov)
+    segs = ds.segments_of(ds.raw_audio)
+    assert segs.shape == (1, seg)
+    out = ds.stitch(segs)
+    np.testing.assert_array_equal(out[:n], audio)  # no attenuation, no shift
+    np.testing.assert_array_equal(out[n:], 0)
+
+    # long clips still route through the overlap-add fold
+    long_audio = rng.standard_normal(3 * seg).astype(np.float32)
+    ds2 = AudioAppDataset(long_audio, 48000, segment_length=seg, overlap=ov)
+    segs2 = ds2.segments_of(ds2.raw_audio)
+    np.testing.assert_allclose(
+        ds2.stitch(segs2), overlap_add_segments(segs2, seg, ov), atol=0)
+
+
 def test_input_pipeline(wav_dir):
     from mdctgan_tpu.data.pipeline import InputPipeline
     from mdctgan_tpu.ops.features import SpectralConfig

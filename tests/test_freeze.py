@@ -64,3 +64,42 @@ def test_freeze_downsample_flags():
             for k, v in jax.tree_util.tree_leaves_with_path(labels)}
     assert any("down" in k and v == "frozen" for k, v in flat.items())
     assert all(v == "train" for k, v in flat.items() if "up" in k)
+
+
+def test_local_freeze_groups_match_reference_split():
+    """The reference freezes the enhancer branch as whole Sequentials — no
+    class rule there: --freeze_l_d toggles ALL of model1_1 (ReflectionPad +
+    7x7 stem + ONE downsample conv) and --freeze_l_u ALL of model1_2
+    (resblocks, attention downsamples, upsamples AND the tanh head)
+    (networks.py:286-298).  Pin local_head / local_attn_down* to the UP
+    group and local_stem / local_down to the DOWN group."""
+    gen = LocalEnhancer(
+        input_nc=2, output_nc=1, ngf=4, n_downsample_global=2,
+        n_blocks_global=1, n_blocks_local=2, n_attn_global=0, n_attn_local=1,
+        heads_l=2, dim_head_l=4, proj_factor_l=2,
+        input_size=(64, 64), downsample_type="conv", upsample_type="transconv",
+    )
+    v = gen.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 2)), train=False)
+    params = v["params"]
+    tops = set(params.keys())
+    assert {"local_stem", "local_down", "local_head",
+            "local_attn_down0", "local_attn_down_shared"} <= tops
+
+    def top_labels(**kw):
+        labels = param_labels(params, **kw)
+        return {
+            t: set(jax.tree_util.tree_leaves(labels[t])) for t in tops
+        }
+
+    down_group = {"local_stem", "local_down"}
+    by_d = top_labels(freeze_l_d=True)
+    by_u = top_labels(freeze_l_u=True)
+    for t in tops:
+        if t == "global":
+            assert by_d[t] == {"train"} and by_u[t] == {"train"}
+        elif t in down_group:
+            assert by_d[t] == {"frozen"}, t
+            assert by_u[t] == {"train"}, t
+        else:  # model1_2: res/attn/up/head
+            assert by_d[t] == {"train"}, t
+            assert by_u[t] == {"frozen"}, t

@@ -286,3 +286,33 @@ def test_import_abstract_init_lazy_materialization():
     del sd["model.1.weight"]
     with pytest.raises(import_torch.InitValuesNeeded):
         import_torch.import_generator(sd, gen, init_vars=abstract)
+
+
+def test_import_absent_optional_bias_keeps_init(capsys):
+    """An OPTIONAL torch key (conv bias) absent from the checkpoint — e.g. a
+    bias-free variant net — must fall back to the init value instead of
+    returning a params tree with a missing leaf that only fails later inside
+    Module.apply."""
+    gen, v, sd = _small_global()
+    del sd["model.1.bias"]  # stem conv bias: optional in expected_torch_keys
+    params, _ = import_torch.import_generator(sd, gen, init_vars=v)
+    assert "keeping init values" in capsys.readouterr().out
+    np.testing.assert_array_equal(
+        np.asarray(params["stem"]["conv"]["bias"]),
+        np.asarray(v["params"]["stem"]["conv"]["bias"]),
+    )
+    # tree is COMPLETE: same leaf paths as the init template
+    import flax.traverse_util as traverse
+    assert set(traverse.flatten_dict(params)) == set(
+        traverse.flatten_dict(v["params"]))
+
+
+def test_import_absent_optional_bias_abstract_materializes():
+    """Same, but with an abstract (eval_shape) template: the importer must
+    signal InitValuesNeeded so callers materialize a real init."""
+    gen, v, sd = _small_global()
+    del sd["model.1.bias"]
+    abstract = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype), v)
+    with pytest.raises(import_torch.InitValuesNeeded):
+        import_torch.import_generator(sd, gen, init_vars=abstract)
