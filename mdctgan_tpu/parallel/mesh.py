@@ -40,8 +40,20 @@ def honor_jax_platforms_env() -> None:
 
 def enable_compilation_cache(path: str) -> None:
     """Persistent XLA compilation cache: the flagship train step takes
-    minutes to compile; cached executables make restarts near-instant."""
+    minutes to compile; cached executables make restarts near-instant.
+
+    Under multi-process (after ``init_multihost``) each process gets its own
+    subdirectory: two coordinated processes sharing ONE cache directory on
+    the same filesystem reproducibly break the Gloo/coordination rendezvous
+    (measured A/B — pair passes with separate caches, fails 2/2 with a
+    shared one; tests/test_multihost.py exercises this path).  Call AFTER
+    ``init_multihost`` so the process index is known."""
     try:
+        from jax._src import distributed
+
+        state = distributed.global_state
+        if (getattr(state, "num_processes", None) or 1) > 1:
+            path = os.path.join(path, f"proc{state.process_id}")
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -25,6 +25,16 @@ def main() -> None:
     assert jax.process_count() == num_procs
     assert len(jax.devices()) == 2 * num_procs, jax.devices()
 
+    # The pytest parent exports JAX_COMPILATION_CACHE_DIR; a cache directory
+    # SHARED between coordinated processes breaks the Gloo rendezvous, so
+    # re-point through enable_compilation_cache, which splits it per process
+    # under multihost (this also exercises the product-side fix).
+    cache = os.environ.pop("JAX_COMPILATION_CACHE_DIR", None)
+    if cache:
+        from mdctgan_tpu.parallel.mesh import enable_compilation_cache
+
+        enable_compilation_cache(cache)
+
     import numpy as np
     import jax.numpy as jnp
     import optax

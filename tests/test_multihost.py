@@ -14,6 +14,14 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WORKER = os.path.join(REPO, "tests", "_multihost_worker.py")
 
+# Gloo/coordination rendezvous inside XLA has fixed ~30 s deadlines; on a
+# loaded host the two workers' import phases (jax + flax + torch) can skew
+# by more than that, making startup itself time out.  That is a test-infra
+# race, not a product failure — retry once when the failure is exactly that
+# deadline signature.
+_TIMEOUT_MARKERS = ("DEADLINE_EXCEEDED", "Barrier timed out",
+                    "GetKeyValue() timed out")
+
 
 def _free_port() -> int:
     with socket.socket() as s:
@@ -21,10 +29,8 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-@pytest.mark.slow
-def test_two_process_dcn_train_step():
-    port = _free_port()
-    coord = f"127.0.0.1:{port}"
+def _run_pair():
+    coord = f"127.0.0.1:{_free_port()}"
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)
     env["JAX_PLATFORMS"] = "cpu"
@@ -36,10 +42,17 @@ def test_two_process_dcn_train_step():
         )
         for i in range(2)
     ]
-    outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=600)
-        outs.append(out)
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    return procs, outs
+
+
+@pytest.mark.slow
+def test_two_process_dcn_train_step():
+    procs, outs = _run_pair()
+    if any(p.returncode != 0 for p in procs) and any(
+        m in out for out in outs for m in _TIMEOUT_MARKERS
+    ):
+        procs, outs = _run_pair()  # startup-skew flake: one retry
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i} failed:\n{out[-3000:]}"
         assert f"proc {i} OK:" in out
