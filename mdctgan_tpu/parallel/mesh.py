@@ -69,6 +69,16 @@ def init_multihost(coordinator: Optional[str] = None) -> None:
     if coordinator:
         kwargs["coordinator_address"] = coordinator
     jax.distributed.initialize(**kwargs)
+    if jax.process_count() > 1:
+        # Establish the cross-process collective transport NOW, while every
+        # process sits at the same cheap point.  Left lazy, it would first
+        # initialize at the first real collective — after minutes of
+        # per-process model building/compiles — and the transport bring-up
+        # runs on fixed ~30 s handshake deadlines that inter-process skew
+        # can blow through (observed with Gloo on CPU under host load).
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("mdctgan:init_multihost")
 
 
 def put_global_batch(batch, sharding):

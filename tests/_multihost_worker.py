@@ -25,6 +25,15 @@ def main() -> None:
     assert jax.process_count() == num_procs
     assert len(jax.devices()) == 2 * num_procs, jax.devices()
 
+    # Bring up the Gloo transport NOW, at the point of minimal skew (same
+    # rationale as mesh.init_multihost): its handshake has fixed ~30 s
+    # deadlines, and deferring it to the first real collective — after the
+    # heavy imports and per-process compiles below — lets inter-process
+    # skew blow through them under host load.
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices("worker:boot")
+
     # The pytest parent exports JAX_COMPILATION_CACHE_DIR; a cache directory
     # SHARED between coordinated processes breaks the Gloo rendezvous, so
     # re-point through enable_compilation_cache, which splits it per process

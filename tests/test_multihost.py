@@ -53,6 +53,11 @@ def test_two_process_dcn_train_step():
         m in out for out in outs for m in _TIMEOUT_MARKERS
     ):
         procs, outs = _run_pair()  # startup-skew flake: one retry
-    for i, (p, out) in enumerate(zip(procs, outs)):
-        assert p.returncode == 0, f"proc {i} failed:\n{out[-3000:]}"
+    if any(p.returncode != 0 for p in procs):
+        report = "\n".join(
+            f"===== proc {i} rc={p.returncode} =====\n{out[-2500:]}"
+            for i, (p, out) in enumerate(zip(procs, outs))
+        )
+        raise AssertionError(f"worker pair failed:\n{report}")
+    for i, out in enumerate(outs):
         assert f"proc {i} OK:" in out
