@@ -205,14 +205,20 @@ def main() -> None:
     visualizer = Visualizer(opt, is_main=is_main)
     eval_csv = os.path.join(expr_dir, "eval.csv")
 
-    # graceful SIGINT save (train.py:89-98)
+    # graceful SIGINT save (train.py:89-98); SIGTERM gets the same
+    # treatment — that is what schedulers/orchestrators (and `timeout`)
+    # send at preemption, and losing the run there is strictly worse than
+    # the reference's ctrl-C-only handling
     interrupted = {"flag": False}
 
-    def _on_sigint(signum, frame):
+    def _on_signal(signum, frame):
         interrupted["flag"] = True
-        print("SIGINT received — saving and exiting after this step")
+        name = signal.Signals(signum).name
+        print(f"{name} received — saving and exiting after this step",
+              flush=True)
 
-    signal.signal(signal.SIGINT, _on_sigint)
+    signal.signal(signal.SIGINT, _on_signal)
+    signal.signal(signal.SIGTERM, _on_signal)
 
     def save(epoch: int, it: int, epoch_label: int | None = None) -> None:
         mgr.save(jax.device_get(state), epoch, it, epoch_label=epoch_label)
@@ -358,7 +364,7 @@ def main() -> None:
                     run_eval(total_steps, epoch)
                 if interrupted["flag"]:
                     save(epoch, epoch_iter)
-                    print("exiting on SIGINT")
+                    print("exiting on signal", flush=True)
                     return
 
             print(f"End of epoch {epoch} / {opt.niter + opt.niter_decay} \t "

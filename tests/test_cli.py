@@ -547,3 +547,56 @@ def test_restore_converts_legacy_batch_cursor(tmp_path):
     _, epoch, it = mgr3.restore(state, batch_size=20)
     assert (epoch, it) == (3, 60)
     mgr3.close()
+
+
+def test_train_sigterm_graceful_save(tmp_path, wav_csv):
+    """SIGTERM (what schedulers/`timeout` send at preemption) must behave
+    like the reference's SIGINT handler: finish the step, save, exit 0."""
+    import signal as _signal
+    import time as _time
+
+    ckpt = tmp_path / "ck_term"
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env["JAX_PLATFORMS"] = "cpu"
+    log = tmp_path / "term.log"
+    with open(log, "w") as lf:
+        proc = subprocess.Popen(
+            [sys.executable, "train.py", "--name", "term",
+             "--checkpoints_dir", str(ckpt),
+             "--dataroot", str(wav_csv), "--evalroot", str(wav_csv),
+             "--batchSize", "2", "--gpu_ids", "0,1", "--niter", "500",
+             "--niter_decay", "0", "--print_freq", "1",
+             "--lr_sampling_rate", "16000", "--center",
+             "--arcsinh_transform", "--abs_spectro", "--abs_norm",
+             "--norm_range", "-1", "1", "--fit_residual",
+             "--netG", "global", "--ngf", "4",
+             "--n_downsample_global", "2", "--n_blocks_global", "1",
+             "--n_blocks_attn_g", "1", "--heads_g", "2", "--dim_head_g", "4",
+             "--num_D", "2", "--n_layers_D", "2", "--ndf", "4",
+             "--segment_length", "8128", "--n_fft", "128",
+             "--hop_length", "64", "--win_length", "128", "--bins", "128",
+             "--save_latest_freq", "1000000", "--eval_freq", "1000000",
+             "--eval_size", "2", "--nThreads", "2", "--no_html"],
+            cwd=REPO, env=env, stdout=lf, stderr=subprocess.STDOUT,
+        )
+        try:
+            deadline = _time.time() + 600
+            while _time.time() < deadline:
+                if "End of epoch 1" in log.read_text(errors="replace"):
+                    break
+                if proc.poll() is not None:
+                    break
+                _time.sleep(1.0)
+            assert proc.poll() is None, log.read_text(errors="replace")[-3000:]
+            proc.send_signal(_signal.SIGTERM)
+            rc = proc.wait(timeout=300)
+        finally:
+            if proc.poll() is None:
+                proc.kill()
+                proc.wait(timeout=60)
+    out = log.read_text(errors="replace")
+    assert rc == 0, out[-3000:]
+    assert "SIGTERM received" in out
+    assert "exiting on signal" in out
+    assert (ckpt / "term" / "ckpt").exists()  # the graceful save landed
