@@ -61,7 +61,7 @@ def _expand_dataroot(dataroot: str):
     return [dataroot], False
 
 
-def _process_file(path, opt, cfg, transform, infer, g_vars):
+def _process_file(path, opt, cfg, transform, infer, g_vars, sharding=None):
     """One file through degrade -> segment -> G -> overlap-add -> metrics.
     Returns (sr, lr, hr, metrics dict)."""
     try:
@@ -101,7 +101,10 @@ def _process_file(path, opt, cfg, transform, infer, g_vars):
     # loop serializes each batch behind a tunnel round-trip
     for i in range(0, len(padded), bs):
         key = jax.random.fold_in(base_key, i) if needs_phase_rng else None
-        _, sr_audio = infer(g_vars, jnp.asarray(padded[i : i + bs]), key)
+        x = padded[i : i + bs]
+        x = (jax.device_put(x, sharding) if sharding is not None
+             else jnp.asarray(x))
+        _, sr_audio = infer(g_vars, x, key)
         outs.append(sr_audio[..., : cfg.segment_length])
     sr_segments = np.concatenate([np.asarray(o) for o in outs])[:n]
 
@@ -138,21 +141,45 @@ def main() -> None:
 
         enable_compilation_cache(opt.jax_cache_dir)
     cfg = spectral_config_from_opt(opt)
-    transform = SpectralTransform(cfg, use_fused=use_fused_from_opt(opt))
     expr_dir = os.path.join(opt.checkpoints_dir, opt.name)
     os.makedirs(expr_dir, exist_ok=True)
 
     paths, batch_mode = _expand_dataroot(opt.dataroot)
 
+    # Data-parallel serving (no reference equivalent — it is single-GPU):
+    # --gpu_ids 0,1,... shards each segment batch over a device mesh with
+    # replicated weights, same as training's DP axis.  Per-sample math is
+    # unchanged (no cross-batch ops at inference), so outputs match the
+    # single-device run.
+    mesh = None
+    sharding = None
+    n_dev = max(1, min(len(opt.gpu_ids) or 1, len(jax.devices())))
+    if n_dev > 1 and opt.batchSize % n_dev:
+        print(f"[mesh] batchSize {opt.batchSize} not divisible by {n_dev} "
+              "devices — serving on 1 device")
+        n_dev = 1
+    if n_dev > 1:
+        from mdctgan_tpu.parallel.mesh import batch_sharding, make_mesh
+
+        mesh = make_mesh(n_dev)
+        sharding = batch_sharding(mesh)
+        print(f"[mesh] data-parallel serving over {n_dev} devices")
+
+    transform = SpectralTransform(cfg, use_fused=use_fused_from_opt(opt),
+                                  mesh=mesh)
     generator = build_generator(opt)
     g_vars = load_generator_vars(opt, generator, cfg)
+    if mesh is not None:
+        from mdctgan_tpu.parallel.mesh import replicate
+
+        g_vars = replicate(g_vars, mesh)
     infer = build_inference_fn(generator, transform, out_length=cfg.segment_length)
 
     if not batch_mode:
         # reference-parity single-file mode: fixed output names + metric.txt
         try:
             sr, lr, hr, in_sr, m = _process_file(
-                paths[0], opt, cfg, transform, infer, g_vars
+                paths[0], opt, cfg, transform, infer, g_vars, sharding
             )
         except AudioLoadError:
             # reference behavior: print and exit (audio_dataset.py:149-151)
@@ -178,7 +205,7 @@ def main() -> None:
         print(f"=== {path}")
         try:
             sr, _, _, _, m = _process_file(
-                path, opt, cfg, transform, infer, g_vars
+                path, opt, cfg, transform, infer, g_vars, sharding
             )
         except AudioLoadError as e:
             print(f"[batch] skipping: {e}")

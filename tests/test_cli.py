@@ -600,3 +600,61 @@ def test_train_sigterm_graceful_save(tmp_path, wav_csv):
     assert "SIGTERM received" in out
     assert "exiting on signal" in out
     assert (ckpt / "term" / "ckpt").exists()  # the graceful save landed
+
+
+def test_generate_audio_dp_mesh_matches_single_device(tmp_path, wav_csv):
+    """--gpu_ids 0,1 serves the segment batch data-parallel over a 2-device
+    mesh (replicated weights, batch-sharded inputs); per-sample math is
+    unchanged, so the SR waveform must match the single-device run."""
+    import jax
+
+    from mdctgan_tpu.models.discriminator import build_discriminator
+    from mdctgan_tpu.models.generator import build_generator
+    from mdctgan_tpu.options import TrainOptions, spectral_config_from_opt
+    from mdctgan_tpu.train.checkpoint import CheckpointManager
+    from mdctgan_tpu.train.schedule import make_optimizers
+    from mdctgan_tpu.train.state import create_train_state
+
+    flags = [
+        "--checkpoints_dir", str(tmp_path / "out"),
+        "--lr_sampling_rate", "16000", "--center", "--arcsinh_transform",
+        "--abs_spectro", "--abs_norm", "--norm_range", "-1", "1",
+        "--fit_residual", "--netG", "global", "--ngf", "4",
+        "--n_downsample_global", "2", "--n_blocks_global", "1",
+        "--n_blocks_attn_g", "1", "--heads_g", "2", "--dim_head_g", "4",
+        "--num_D", "2", "--n_layers_D", "2", "--ndf", "4",
+        "--segment_length", "8128", "--n_fft", "128", "--hop_length", "64",
+        "--win_length", "128", "--bins", "128",
+    ]
+    opt = TrainOptions().parse(flags + ["--name", "dpckpt"], save=False)
+    cfg = spectral_config_from_opt(opt)
+    g_tx, d_tx = make_optimizers(opt.lr, opt.beta1, opt.niter, opt.niter_decay, 1)
+    state = create_train_state(
+        jax.random.PRNGKey(0), build_generator(opt), build_discriminator(opt),
+        g_tx, d_tx,
+        spectro_shape=(cfg.n_bins, cfg.n_fft // 2),
+        g_in_channels=opt.input_nc,
+        d_in_channels=opt.input_nc + opt.output_nc,
+    )
+    pretrain_dir = tmp_path / "pretrained"
+    mgr = CheckpointManager(str(pretrain_dir / "ckpt"))
+    mgr.save(state, epoch=1)
+    mgr.wait()
+    mgr.close()
+
+    wav = str(wav_csv.parent / "s0.wav")
+    outs = {}
+    for name, gpu_ids in (("gen1", "0"), ("gen2", "0,1")):
+        r = _run([
+            "generate_audio.py", "--name", name, "--phase", "test",
+            "--dataroot", wav, "--batchSize", "2",
+            "--load_pretrain", str(pretrain_dir), "--gpu_ids", gpu_ids,
+        ] + flags)
+        assert r.returncode == 0, r.stderr[-3000:]
+        if gpu_ids == "0,1":
+            assert "data-parallel serving over 2 devices" in r.stdout
+        with wave.open(str(tmp_path / "out" / name / "sr_audio.wav")) as w:
+            outs[name] = np.frombuffer(
+                w.readframes(w.getnframes()), dtype="<i2").astype(np.float32)
+    # int16-quantized outputs: allow one LSB of fp reduction-order noise
+    np.testing.assert_allclose(outs["gen1"], outs["gen2"], atol=1)
