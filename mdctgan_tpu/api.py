@@ -100,10 +100,26 @@ def upsample(
     is_lr_input: bool = False,
     gen_overlap: int = 0,
     batch_size: int = 8,
+    mesh=None,
 ) -> np.ndarray:
     """One-call speech super-resolution of an in-memory waveform: degrade (or
-    upsample if ``is_lr_input``), segment, batch-infer, stitch."""
+    upsample if ``is_lr_input``), segment, batch-infer, stitch.
+
+    ``mesh``: a ``jax.sharding.Mesh`` to serve data-parallel — segment
+    batches shard over the leading axis with replicated ``g_vars`` (pass
+    already-replicated vars or plain ones; device_put replicates them).
+    ``batch_size`` must divide by the mesh size."""
     cfg = model.transform.cfg
+    sharding = None
+    if mesh is not None:
+        from mdctgan_tpu.parallel.mesh import batch_sharding, replicate
+
+        if batch_size % mesh.size:
+            raise ValueError(
+                f"batch_size {batch_size} not divisible by mesh size {mesh.size}"
+            )
+        sharding = batch_sharding(mesh)
+        g_vars = replicate(g_vars, mesh)
     ds = AudioAppDataset(audio, sample_rate, cfg.segment_length, gen_overlap)
     raw = jnp.asarray(ds.raw_audio)[None]
     if is_lr_input:
@@ -119,7 +135,9 @@ def upsample(
         )
     outs = []
     for i in range(0, len(segments), batch_size):
-        _, sr_audio = model.inference(g_vars, jnp.asarray(segments[i : i + batch_size]))
+        x = segments[i : i + batch_size]
+        x = jax.device_put(x, sharding) if sharding is not None else jnp.asarray(x)
+        _, sr_audio = model.inference(g_vars, x)
         outs.append(np.asarray(sr_audio[..., : cfg.segment_length]))
     sr_segments = np.concatenate(outs)[:n]
     return ds.stitch(sr_segments)

@@ -350,6 +350,13 @@ def test_api_create_model_and_upsample(tmp_path):
     assert out.ndim == 1 and len(out) >= 20000
     assert np.isfinite(out).all()
 
+    # DP serving through the API: same output on a 2-device mesh
+    from mdctgan_tpu.parallel.mesh import make_mesh
+
+    out2 = upsample(wave, 48000, model.g_vars(), model, batch_size=2,
+                    mesh=make_mesh(2))
+    np.testing.assert_allclose(out2, out, atol=1e-5)
+
 
 def test_export_stablehlo_roundtrip(tmp_path):
     """export_cli: serialize the inference graph (weights baked in) to
