@@ -159,7 +159,9 @@ def main() -> None:
               "devices — serving on 1 device")
         n_dev = 1
     if n_dev > 1:
-        from mdctgan_tpu.parallel.mesh import batch_sharding, make_mesh
+        from mdctgan_tpu.parallel.mesh import (
+            batch_sharding, make_mesh, replicate,
+        )
 
         mesh = make_mesh(n_dev)
         sharding = batch_sharding(mesh)
@@ -170,8 +172,6 @@ def main() -> None:
     generator = build_generator(opt)
     g_vars = load_generator_vars(opt, generator, cfg)
     if mesh is not None:
-        from mdctgan_tpu.parallel.mesh import replicate
-
         g_vars = replicate(g_vars, mesh)
     infer = build_inference_fn(generator, transform, out_length=cfg.segment_length)
 

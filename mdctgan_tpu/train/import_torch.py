@@ -548,18 +548,16 @@ def _fuzzy_import(
         flat_p, flat_s, leftover, missing = convert_state_dict(
             state_dict, entries, shapes
         )
-    # Leaves the flax module owns that no torch key produced.  Distinct from
-    # ``missing`` (required keys): an OPTIONAL key can be absent — e.g. a
-    # checkpoint saved from a bias-free conv variant while our module has
-    # use_bias=True — and must still fall back to init values, else the
-    # incomplete tree fails much later inside Module.apply instead of here.
-    absent: List[Tuple[str, ...]] = []
-    if init_params is not None:
-        absent = [k for k in traverse.flatten_dict(init_params)
-                  if k not in flat_p]
-        if init_stats:
-            absent += [k for k in traverse.flatten_dict(init_stats)
-                       if k not in flat_s]
+
+    def merge_init():
+        """Overlay the imported leaves onto the full init tree (base_model.py:94
+        copies only what it can; everything else stays initialized)."""
+        base_p = dict(traverse.flatten_dict(init_params))
+        base_p.update(flat_p)
+        base_s = dict(traverse.flatten_dict(init_stats or {}))
+        base_s.update(flat_s)
+        return base_p, base_s
+
     if missing:
         if init_params is None:
             raise ValueError(
@@ -578,29 +576,29 @@ def _fuzzy_import(
         for name in missing:
             for cand in by_shape.get(shapes.get(name), []):
                 print(f"     {name} : {cand}")
-        # keep the net's own init for unmatched modules (base_model.py:94
-        # copies only what it can; everything else stays initialized)
-        base_p = dict(traverse.flatten_dict(init_params))
-        base_p.update(flat_p)
-        flat_p = base_p
-        base_s = dict(traverse.flatten_dict(init_stats or {}))
-        base_s.update(flat_s)
-        flat_s = base_s
-    elif absent:
-        if _is_abstract(init_params):
-            raise InitValuesNeeded(
-                [".".join(map(str, k)) for k in absent[:8]])
-        print(
-            f"Pretrained network {what}: keeping init values for "
-            f"{len(absent)} param(s) the checkpoint does not carry "
-            f"(e.g. {'.'.join(map(str, absent[0]))})"
-        )
-        base_p = dict(traverse.flatten_dict(init_params))
-        base_p.update(flat_p)
-        flat_p = base_p
-        base_s = dict(traverse.flatten_dict(init_stats or {}))
-        base_s.update(flat_s)
-        flat_s = base_s
+        flat_p, flat_s = merge_init()
+    elif init_params is not None:
+        # Leaves the flax module owns that no torch key produced.  Distinct
+        # from ``missing`` (required keys): an OPTIONAL key can be absent —
+        # e.g. a checkpoint saved from a bias-free conv variant while our
+        # module has use_bias=True — and must still fall back to init
+        # values, else the incomplete tree fails much later inside
+        # Module.apply instead of here.
+        absent = [k for k in traverse.flatten_dict(init_params)
+                  if k not in flat_p]
+        if init_stats:
+            absent += [k for k in traverse.flatten_dict(init_stats)
+                       if k not in flat_s]
+        if absent:
+            if _is_abstract(init_params):
+                raise InitValuesNeeded(
+                    [".".join(map(str, k)) for k in absent[:8]])
+            print(
+                f"Pretrained network {what}: keeping init values for "
+                f"{len(absent)} param(s) the checkpoint does not carry "
+                f"(e.g. {'.'.join(map(str, absent[0]))})"
+            )
+            flat_p, flat_s = merge_init()
     if not missing and leftover:
         print(
             f"Pretrained network {what} has excessive layers; "
