@@ -227,6 +227,51 @@ def test_e2e_inference_explicit_encoding(rng):
         np.asarray(sr_audio), ref_audio, atol=1e-2 * scale)
 
 
+def test_e2e_inference_raw_mdct(rng):
+    """Fourth (raw) normalization mode: identity transform + per-sample
+    affine, no sign handling (pix2pixHD_model.py:102-106 raw branch,
+    :147-148 pass-through decode).  Completes e2e oracle coverage of every
+    reference inference mode."""
+    cfg = _spectral_cfg(arcsinh_transform=False, raw_mdct=True,
+                        abs_norm=False, norm_range=(-1.0, 1.0))
+    torch_model = _torch_local(DB_GEN_CFG)  # 1-channel input, like dB
+    _randomize(torch_model, rng)
+    torch_model.eval()
+    flax_model = _flax_local(DB_GEN_CFG)
+    params, stats = import_torch.import_generator(
+        torch_model.state_dict(), flax_model)
+    g_vars = {"params": params, "batch_stats": stats}
+
+    lr_audio = (0.1 * rng.standard_normal((2, cfg.segment_length))).astype(
+        np.float32)
+    # oracle: MDCT -> per-sample affine -> G -> fit_residual -> inverse
+    # affine -> IMDCT (raw mode is the identity transform)
+    w = np.asarray(kbd_window(cfg.n_fft), np.float64)
+    spec = reference_mdct4(lr_audio.astype(np.float64), cfg.n_fft,
+                           cfg.hop_length, w, center=cfg.center)[:, None]
+    n0, n1 = cfg.norm_range
+    hi = spec.max(axis=(-2, -1), keepdims=True)
+    lo = spec.min(axis=(-2, -1), keepdims=True)
+    lr_spec = (spec - lo) / (hi - lo) * (n1 - n0) + n0
+    with torch.no_grad():
+        sr = torch_model(torch.from_numpy(lr_spec.astype(np.float32)))
+    sr = sr.numpy().astype(np.float64)
+    lr_part = int(sr.shape[-1] / cfg.up_ratio)
+    sr[..., :lr_part] *= 1e-3
+    sr = sr + lr_spec
+    spec_out = (sr - n0) / (n1 - n0) * (hi - lo) + lo
+    ref_audio = reference_imdct4(
+        spec_out[:, 0], cfg.n_fft, cfg.hop_length, w, center=cfg.center
+    )[..., : cfg.segment_length]
+
+    transform = SpectralTransform(cfg)
+    infer = build_inference_fn(
+        flax_model, transform, out_length=cfg.segment_length)
+    got_sr, got_audio = infer(g_vars, jnp.asarray(lr_audio))
+    np.testing.assert_allclose(np.asarray(got_sr), sr, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(got_audio), ref_audio, atol=1e-3)
+
+
 def test_e2e_inference_db_path(rng):
     cfg = _spectral_cfg(arcsinh_transform=False, abs_norm=False,
                         norm_range=(0.0, 1.0))
