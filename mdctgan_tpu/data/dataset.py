@@ -140,9 +140,16 @@ class AudioTestDataset:
 
     def segments_of(self, audio: np.ndarray) -> np.ndarray:
         """Unfold into (n_segments, segment_length) with the reference's
-        padding (audio_dataset.py:153-167)."""
+        padding (audio_dataset.py:153-167).
+
+        Records which branch was taken so ``stitch`` can mirror it exactly.
+        The branch must be decided from THIS signal's length — the caller
+        passes the resampled LR (at hr_sampling_rate), whose length differs
+        from ``self.audio_len`` (raw input-rate length) whenever the input
+        rate != hr rate, and the two can straddle ``segment_length``."""
         seg, ov = self.segment_length, self.overlap
         length = len(audio)
+        self._short_segmented = length < seg
         if length >= seg:
             n = int(np.ceil(length / seg))
             padded = np.pad(audio, (ov, seg * n - length + ov))
@@ -160,8 +167,18 @@ class AudioTestDataset:
         go through the edge-halving overlap-add — the reference's fold
         (generate_audio.py:40-51) would attenuate the first ``overlap`` real
         samples and shift the whole clip (a reference edge bug; fixed here,
-        recorded in PARITY.md)."""
-        if self.overlap == 0 or self.audio_len < self.segment_length:
+        recorded in PARITY.md).
+
+        Branches on the flag ``segments_of`` recorded — NOT on
+        ``self.audio_len``, which is the raw length at the INPUT rate: when
+        input rate != hr rate the segmented (resampled) length can land on
+        the other side of ``segment_length``, and the two branches would
+        disagree (edge-halving a lone tail-padded segment, or naively
+        concatenating genuinely overlapped ones)."""
+        short = getattr(self, "_short_segmented", None)
+        if short is None:  # stitch() without segments_of(): raw-length guess
+            short = self.audio_len < self.segment_length
+        if self.overlap == 0 or short:
             return np.asarray(segments).reshape(-1)
         return overlap_add_segments(
             np.asarray(segments), self.segment_length, self.overlap

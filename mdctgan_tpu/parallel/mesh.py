@@ -48,17 +48,26 @@ def enable_compilation_cache(path: str) -> None:
     (measured A/B — pair passes with separate caches, fails 2/2 with a
     shared one; tests/test_multihost.py exercises this path).  Call AFTER
     ``init_multihost`` so the process index is known."""
+    # Only the private import is allowed to fail (it reads the process index
+    # WITHOUT initializing a backend; the public jax.process_count() would).
+    # If it moves in a future JAX, fall back to the public API rather than
+    # silently skipping the cache + per-process split entirely.
     try:
         from jax._src import distributed
 
-        state = distributed.global_state
-        if (getattr(state, "num_processes", None) or 1) > 1:
-            path = os.path.join(path, f"proc{state.process_id}")
+        num = getattr(distributed.global_state, "num_processes", None) or 1
+        pid = distributed.global_state.process_id if num > 1 else 0
+    except Exception:
+        num = jax.process_count()
+        pid = jax.process_index()
+    if num > 1:
+        path = os.path.join(path, f"proc{pid}")
+    try:
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    except Exception as e:
+        print(f"[mesh] WARNING: compilation cache disabled: {e}", flush=True)
 
 
 def init_multihost(coordinator: Optional[str] = None) -> None:

@@ -148,6 +148,39 @@ def test_short_clip_overlap_stitch_identity(rng):
         ds2.stitch(segs2), overlap_add_segments(segs2, seg, ov), atol=0)
 
 
+def test_stitch_branches_on_segmented_length_not_raw(rng):
+    """stitch() must mirror the branch segments_of() actually took — decided
+    by the SEGMENTED (resampled, hr-rate) signal's length — not by the raw
+    input-rate length.  When input rate != hr rate the two lengths can
+    straddle segment_length and the branches disagree (ADVICE r2: edge-halved
+    lone segment, or naively concatenated overlapped segments)."""
+    from mdctgan_tpu.data.dataset import AudioAppDataset
+
+    seg, ov = 256, 32
+
+    # Case A: raw clip longer than one segment, but its resampled version
+    # (e.g. 48k raw -> 16k) is SHORTER -> one tail-padded segment that must
+    # bypass the edge-halving overlap-add.
+    raw = rng.standard_normal(3 * seg).astype(np.float32)
+    ds = AudioAppDataset(raw, 48000, segment_length=seg, overlap=ov)
+    resampled = rng.standard_normal(seg - 50).astype(np.float32)
+    segs = ds.segments_of(resampled)
+    assert segs.shape == (1, seg)
+    out = ds.stitch(segs)
+    np.testing.assert_array_equal(out[: len(resampled)], resampled)
+
+    # Case B: raw clip shorter than one segment, but its upsampled version
+    # (--is_lr_input, e.g. 16k raw -> 48k) spans several overlapped segments
+    # -> MUST go through overlap-add, not reshape(-1) concatenation.
+    raw2 = rng.standard_normal(seg - 50).astype(np.float32)
+    ds2 = AudioAppDataset(raw2, 16000, segment_length=seg, overlap=ov)
+    upsampled = rng.standard_normal(3 * seg).astype(np.float32)
+    segs2 = ds2.segments_of(upsampled)
+    assert segs2.shape[0] > 1
+    np.testing.assert_allclose(
+        ds2.stitch(segs2), overlap_add_segments(segs2, seg, ov), atol=0)
+
+
 def test_input_pipeline(wav_dir):
     from mdctgan_tpu.data.pipeline import InputPipeline
     from mdctgan_tpu.ops.features import SpectralConfig
