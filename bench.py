@@ -170,6 +170,10 @@ def main() -> None:
     except Exception as e:
         print(f"[bench] pallas bench skipped: {e!r}", file=sys.stderr)
 
+    # Secondary metrics also ride the final JSON line (the driver records
+    # only the LAST line, so round-over-round step/RTF tracking lives here).
+    extra = {}
+
     # Secondary: flagship G+D train step (batch 20, bf16 — the BASELINE.json
     # config-4 geometry; the reference publishes no step time to compare).
     try:
@@ -241,6 +245,9 @@ def main() -> None:
         except Exception as e:
             print(f"[bench] trace timing unavailable: {e!r}", file=sys.stderr)
         best_ms = trace_ms if trace_ms else step_ms
+        extra["train_step_busy_ms"] = round(best_ms, 2)
+        extra["train_step_scan_ms"] = round(step_ms, 2)
+        extra["samples_per_s_chip"] = round(20e3 / best_ms, 1)
         print(
             f"[bench] flagship G+D train step (batch 20, bf16): "
             f"{best_ms:.2f} ms = {20e3 / best_ms:.0f} samples/s/chip "
@@ -273,6 +280,8 @@ def main() -> None:
             lr, consts=g_vars, n_lo=2, n_hi=26, reps=4,
         )
         rtf = (inf_ms / 1e3) / (cfg.segment_length / cfg.hr_sampling_rate)
+        extra["inference_ms_per_segment"] = round(inf_ms, 2)
+        extra["inference_rtf"] = round(rtf, 5)
         print(f"[bench] flagship inference: {inf_ms:.2f} ms/segment, RTF={rtf:.4f}",
               file=sys.stderr)
     except Exception as e:  # secondary metrics must not break the headline
@@ -283,6 +292,7 @@ def main() -> None:
         "value": round(mdct_ms, 4),
         "unit": "ms",
         "vs_baseline": round(BASELINE_MDCT_MS / mdct_ms, 3),
+        **extra,
     }))
 
 

@@ -66,12 +66,19 @@ class AudioDataset:
         seed: int = 42,
         max_files: Optional[int] = None,
         serial: bool = False,
+        deterministic: bool = False,
     ):
         self.files = list_audio_files(index_path, max_files)
         self.segment_length = int(segment_length)
         self.serial = serial  # --serial_batches: in-order instead of random
+        # --deterministic_eval: FIXED per-file crop offsets (seeded by file
+        # index), so repeated eval passes see identical audio and eval.csv
+        # curves carry no crop noise.  The reference always random-crops
+        # (audio_dataset.py:47-50); this is an additive option, default off.
+        self.deterministic = deterministic
         self._cursor = 0
         self._len_cache: dict = {}
+        self._seed = int(seed)
         self._rng = np.random.default_rng(seed)
 
     def __len__(self) -> int:
@@ -95,7 +102,13 @@ class AudioDataset:
             try:
                 sr, nframes = self._probe(j)
                 max_start = nframes - self.segment_length
-                off = int(self._rng.integers(0, max_start)) if max_start > 0 else 0
+                if max_start <= 0:
+                    off = 0
+                elif self.deterministic:
+                    off = int(np.random.default_rng(
+                        (self._seed, j)).integers(0, max_start))
+                else:
+                    off = int(self._rng.integers(0, max_start))
                 data, sr = native.read(self.files[j], off, self.segment_length)
                 return data, sr
             except Exception:
@@ -109,6 +122,12 @@ class AudioDataset:
         if len(set(rates)) != 1:
             raise ValueError(f"mixed sample rates in batch: {set(rates)}")
         return np.stack(segs), rates[0]
+
+    def sample_batch_rates(self, batch_size: int) -> Tuple[np.ndarray, np.ndarray]:
+        """Stack a batch keeping each item's own sample rate (mixed-rate
+        corpora: the reference resamples per item, audio_dataset.py:64-71)."""
+        segs, rates = zip(*(self.sample() for _ in range(batch_size)))
+        return np.stack(segs), np.asarray(rates, np.int64)
 
 
 class AudioTestDataset:

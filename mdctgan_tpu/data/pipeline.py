@@ -71,7 +71,12 @@ class InputPipeline:
         if orig_freq is None:
             orig_freq, _ = dataset._probe(0)
         self.orig_freq = orig_freq
-        self._degrade = make_degrade_fn(cfg, orig_freq, add_noise, snr)
+        self._add_noise, self._snr = add_noise, snr
+        # one jitted degrade program per observed sample rate (the reference
+        # resamples each item at its own rate, audio_dataset.py:64-71);
+        # pre-warm with the probed rate
+        self._degrade_cache: Dict[int, object] = {}
+        self._degrade_for(orig_freq)
         self._rng = jax.random.PRNGKey(seed)
         self._queue: "queue.Queue" = queue.Queue(maxsize=queue_size)
         self._stop = threading.Event()
@@ -90,33 +95,50 @@ class InputPipeline:
         self._thread = threading.Thread(target=self._work, daemon=True)
         self._thread.start()
 
-    def _host_batch(self) -> np.ndarray:
+    def _degrade_for(self, sr: int):
+        fn = self._degrade_cache.get(int(sr))
+        if fn is None:
+            fn = make_degrade_fn(self.cfg, int(sr), self._add_noise, self._snr)
+            self._degrade_cache[int(sr)] = fn
+        return fn
+
+    def _host_batch(self) -> "tuple[np.ndarray, np.ndarray]":
+        """(segments, per-item sample rates).  Segment buffers are a fixed
+        ``segment_length`` frames at each file's NATIVE rate (mirroring the
+        reference's ``num_frames=segment_length`` crop,
+        audio_dataset.py:44-52), so mixed-rate batches still stack."""
         if self._prefetcher is not None:
-            segs = []
+            segs, rates = [], []
             for _ in range(self.batch_size):
                 seg, sr = self._prefetcher.next()
-                # the jitted degradation is compiled for orig_freq; a file at
-                # another rate would be silently resampled with the wrong
-                # ratio (the reference resamples per item at its own rate)
-                if sr != self.orig_freq:
-                    raise ValueError(
-                        f"sample rate {sr} != pipeline orig_freq "
-                        f"{self.orig_freq} (mixed-rate corpora unsupported)"
-                    )
                 segs.append(seg)
-            return np.stack(segs)
-        batch, sr = self.dataset.sample_batch(self.batch_size)
-        if sr != self.orig_freq:
-            raise ValueError(
-                f"sample rate {sr} != pipeline orig_freq {self.orig_freq} "
-                f"(mixed-rate corpora unsupported)"
-            )
-        return batch
+                rates.append(sr)
+            return np.stack(segs), np.asarray(rates, np.int64)
+        batch, rates = self.dataset.sample_batch_rates(self.batch_size)
+        return batch, rates
+
+    def _degrade_batch(self, wave, rates: np.ndarray, rng) -> Dict[str, jax.Array]:
+        """Degrade with each item's own resample ratio.  Homogeneous batches
+        (the common case — VCTK is single-rate) run ONE program; a mixed
+        batch runs one full-batch program per distinct rate (uniform shapes,
+        so at most one compile per rate ever) and selects rows on device."""
+        uniq = np.unique(rates)
+        if len(uniq) == 1:
+            return self._degrade_for(int(uniq[0]))(wave, rng)
+        out: Optional[Dict[str, jax.Array]] = None
+        for r in uniq:
+            d = self._degrade_for(int(r))(wave, rng)
+            if out is None:
+                out = d
+            else:
+                mask = jnp.asarray((rates == r).reshape(-1, 1))
+                out = {k: jnp.where(mask, d[k], out[k]) for k in d}
+        return out
 
     def _work(self) -> None:
         while not self._stop.is_set():
             try:
-                host = self._host_batch()
+                host, rates = self._host_batch()
                 if self.sharding is not None:
                     from mdctgan_tpu.parallel.mesh import put_global_batch
 
@@ -124,7 +146,7 @@ class InputPipeline:
                 else:
                     wave = jnp.asarray(host)
                 self._rng, sub = jax.random.split(self._rng)
-                batch = self._degrade(wave, sub)
+                batch = self._degrade_batch(wave, rates, sub)
             except StopIteration:
                 break
             except BaseException as e:  # surface in __next__, don't die silently

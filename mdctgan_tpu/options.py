@@ -214,6 +214,11 @@ class TrainOptions(BaseOptions):
                        help="persistent XLA compilation cache ('' disables)")
         p.add_argument("--coordinator_address", type=str, default="",
                        help="coordinator host:port for --multihost")
+        p.add_argument("--deterministic_eval", action="store_true",
+                       help="eval on files in order with FIXED per-file crop "
+                            "offsets: two evals at the same step produce "
+                            "identical eval.csv rows (default: reference-"
+                            "parity random crops)")
 
         # STFT params (train_options.py:63-73)
         p.add_argument("--lr_sampling_rate", type=int, default=LR_SAMPLE_RATE)

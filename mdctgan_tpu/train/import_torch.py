@@ -332,7 +332,10 @@ def generator_entries_for(gen) -> List[Entry]:
 def _to_np(t) -> np.ndarray:
     if hasattr(t, "detach"):
         t = t.detach().cpu().numpy()
-    return np.asarray(t)
+    # Copy: torch's .numpy() (and numpy transposes of it) are VIEWS of live
+    # torch storage, so an imported tree would silently track any later
+    # in-place mutation of the source model (optimizer steps, _randomize).
+    return np.array(t)
 
 
 def expected_torch_keys(entries: List[Entry]) -> Tuple[List[str], List[str]]:

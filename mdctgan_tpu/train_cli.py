@@ -80,7 +80,10 @@ def main() -> None:
     eval_ds = None
     if opt.evalroot and os.path.exists(opt.evalroot):
         eval_ds = AudioDataset(
-            opt.evalroot, cfg.segment_length, seed=opt.seed, max_files=max_files
+            opt.evalroot, cfg.segment_length, seed=opt.seed,
+            max_files=max_files,
+            serial=opt.deterministic_eval,
+            deterministic=opt.deterministic_eval,
         )
     dataset_size = len(train_ds)
     steps_per_epoch = max(dataset_size // opt.batchSize, 1)
@@ -227,6 +230,8 @@ def main() -> None:
     def run_eval(step: int, epoch: int) -> None:
         if eval_ds is None:
             return
+        if opt.deterministic_eval:
+            eval_ds._cursor = 0  # same files, same order, every pass
         n = min(opt.eval_size, len(eval_ds))
         bs = opt.batchSize
         rows = []

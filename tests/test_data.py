@@ -207,3 +207,71 @@ def test_serial_batches(wav_dir):
         seg, _ = ds.sample()
         assert seg.shape == (8000,)
     assert ds._cursor == 5 % len(ds)
+
+
+def test_mixed_sample_rate_pipeline(tmp_path):
+    """Mixed-rate corpora: each item is degraded at its OWN rate (the
+    reference resamples per item, audio_dataset.py:64-71).  Two files, each
+    exactly segment_length frames at different native rates, so crops are
+    deterministic and every emitted row must equal one of the two per-rate
+    oracle rows."""
+    from mdctgan_tpu.data.pipeline import InputPipeline, make_degrade_fn
+    from mdctgan_tpu.ops.features import SpectralConfig
+    import jax
+
+    seglen = 992
+    t48 = np.arange(seglen) / 48000.0
+    t24 = np.arange(seglen) / 24000.0
+    seg48 = (0.5 * np.sin(2 * np.pi * 440 * t48)).astype(np.float32)
+    seg24 = (0.5 * np.sin(2 * np.pi * 220 * t24)).astype(np.float32)
+    write_wav(str(tmp_path / "a48.wav"), seg48, sr=48000)
+    write_wav(str(tmp_path / "b24.wav"), seg24, sr=24000)
+
+    cfg = SpectralConfig(
+        n_fft=64, hop_length=32, win_length=64, segment_length=seglen,
+        lr_sampling_rate=16000, hr_sampling_rate=48000,
+    )
+    key = jax.random.PRNGKey(0)
+    oracle = {}
+    for fname, sr in (("a48.wav", 48000), ("b24.wav", 24000)):
+        q, _ = native.read(str(tmp_path / fname))
+        d = make_degrade_fn(cfg, sr, add_noise=False, snr=55.0)(
+            np.asarray(q, np.float32)[None], key)
+        oracle[sr] = {k: np.asarray(v[0]) for k, v in d.items()}
+
+    ds = AudioDataset(str(tmp_path), segment_length=seglen, seed=3)
+    pipe = InputPipeline(ds, cfg, batch_size=4, seed=3)
+    try:
+        seen = set()
+        for _ in range(4):
+            batch = next(pipe)
+            for i in range(4):
+                hr = np.asarray(batch["hr_audio"][i])
+                lr = np.asarray(batch["lr_audio"][i])
+                matched = None
+                for sr, o in oracle.items():
+                    if np.allclose(hr, o["hr_audio"], atol=1e-6) and \
+                       np.allclose(lr, o["lr_audio"], atol=1e-6):
+                        matched = sr
+                assert matched is not None, "row matches neither rate's oracle"
+                seen.add(matched)
+        assert seen == {48000, 24000}, f"both rates should appear, got {seen}"
+    finally:
+        pipe.close()
+
+
+def test_deterministic_eval_sampling(wav_dir):
+    """--deterministic_eval: serial order + fixed per-file crop offsets ->
+    two consecutive passes yield IDENTICAL batches (and differ from the
+    default random-crop sampler's stream)."""
+    ds = AudioDataset(str(wav_dir), segment_length=8000, seed=1,
+                      serial=True, deterministic=True)
+    a1, _ = ds.sample_batch(3)
+    ds._cursor = 0
+    a2, _ = ds.sample_batch(3)
+    np.testing.assert_array_equal(a1, a2)
+
+    rnd = AudioDataset(str(wav_dir), segment_length=8000, seed=1)
+    b1, _ = rnd.sample_batch(3)
+    b2, _ = rnd.sample_batch(3)
+    assert not np.array_equal(b1, b2)

@@ -167,3 +167,58 @@ def test_exported_generator_matches_forward(tmp_path):
     )
     y1 = gen.apply({"params": params, "batch_stats": stats}, x, train=False)
     np.testing.assert_array_equal(np.asarray(y0), np.asarray(y1))
+
+
+def test_verify_import_cli(tmp_path, capsys):
+    """tools/verify_import.py on a just-exported checkpoint must report 100%
+    matched (exit 0) for both nets, and a wrong --n_blocks_global must be
+    caught (exit 1) with size-matched candidate hints."""
+    import importlib.util
+    import os
+
+    from mdctgan_tpu.export_torch_cli import export_state_to_pth
+    from mdctgan_tpu.models.discriminator import build_discriminator
+    from mdctgan_tpu.models.generator import build_generator
+    from mdctgan_tpu.options import spectral_config_from_opt
+    from mdctgan_tpu.train.schedule import make_optimizers
+    from mdctgan_tpu.train.state import create_train_state
+
+    spec = importlib.util.spec_from_file_location(
+        "verify_import",
+        os.path.join(os.path.dirname(__file__), "..", "tools",
+                     "verify_import.py"),
+    )
+    vi = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(vi)
+
+    opt = _tiny_opt()
+    cfg = spectral_config_from_opt(opt)
+    gen = build_generator(opt)
+    g_tx, d_tx = make_optimizers(2e-4, 0.5, 1, 0, 1)
+    state = create_train_state(
+        jax.random.PRNGKey(0), gen, build_discriminator(opt), g_tx, d_tx,
+        spectro_shape=(cfg.n_bins, cfg.n_fft // 2),
+        g_in_channels=opt.input_nc,
+        d_in_channels=opt.input_nc + opt.output_nc,
+    )
+    export_state_to_pth(state, gen, opt, str(tmp_path), "latest")
+
+    flags = [
+        "--netG", "local", "--ngf", "4", "--n_downsample_global", "2",
+        "--n_blocks_global", "2", "--n_blocks_attn_g", "1",
+        "--heads_g", "2", "--dim_head_g", "4", "--n_blocks_local", "2",
+        "--num_D", "2", "--n_layers_D", "2", "--ndf", "4",
+        "--n_fft", "128", "--hop_length", "64", "--win_length", "128",
+        "--bins", "128", "--segment_length", "8128", "--center",
+        "--upsample_type", "interpolate", "--downsample_type", "resconv",
+    ]
+    assert vi.main([str(tmp_path / "latest_net_G.pth")] + flags) == 0
+    assert vi.main([str(tmp_path / "latest_net_D.pth")] + flags) == 0
+    out = capsys.readouterr().out
+    assert "100% matched" in out
+
+    bad = list(flags)
+    bad[bad.index("--n_blocks_global") + 1] = "3"
+    assert vi.main([str(tmp_path / "latest_net_G.pth")] + bad) == 1
+    out = capsys.readouterr().out
+    assert "MISSING" in out and "size-matched candidates" in out
