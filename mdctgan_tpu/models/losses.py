@@ -7,7 +7,7 @@ All functions take the nested multiscale prediction lists produced by
 
 from __future__ import annotations
 
-from typing import List
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -15,7 +15,26 @@ import jax.numpy as jnp
 Array = jax.Array
 
 
-def gan_loss(preds: List[List[Array]], target_is_real: bool, use_lsgan: bool = True) -> Array:
+def _wmean(x: Array, w: Optional[Array]) -> Array:
+    """Mean of ``x``, or — with per-sample weights ``w`` of shape (B,) —
+    the weighted mean over samples of per-sample means.  With 0/1 weights
+    this equals the plain mean over only the weighted samples (the final
+    partial batch per epoch: the reference's drop_last=False DataLoader
+    yields it smaller, custom_dataset_data_loader.py:38-44; here the batch
+    stays the compiled size and padding rows carry weight 0)."""
+    if w is None:
+        return jnp.mean(x)
+    per = jnp.mean(x.reshape(x.shape[0], -1), axis=1)
+    w = w.astype(per.dtype)
+    return jnp.sum(per * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+def gan_loss(
+    preds: List[List[Array]],
+    target_is_real: bool,
+    use_lsgan: bool = True,
+    sample_weight: Optional[Array] = None,
+) -> Array:
     """LSGAN (MSE vs 0/1) or BCE, summed over scales; each scale's final
     element is the patch logit map (networks.py:127-137)."""
     target = 1.0 if target_is_real else 0.0
@@ -26,12 +45,13 @@ def gan_loss(preds: List[List[Array]], target_is_real: bool, use_lsgan: bool = T
         # feature_matching_loss below)
         pred = scale[-1].astype(jnp.float32)
         if use_lsgan:
-            total = total + jnp.mean((pred - target) ** 2)
+            total = total + _wmean((pred - target) ** 2, sample_weight)
         else:
             eps = 1e-12
             p = jnp.clip(pred, eps, 1 - eps)
-            total = total + jnp.mean(
-                -(target * jnp.log(p) + (1.0 - target) * jnp.log(1.0 - p))
+            total = total + _wmean(
+                -(target * jnp.log(p) + (1.0 - target) * jnp.log(1.0 - p)),
+                sample_weight,
             )
     return total
 
@@ -42,6 +62,7 @@ def feature_matching_loss(
     n_layers_d: int,
     num_d: int,
     lambda_feat: float = 10.0,
+    sample_weight: Optional[Array] = None,
 ) -> Array:
     """L1 feature matching over all intermediate features, real side detached
     (pix2pixHD_model.py:443-451)."""
@@ -53,7 +74,8 @@ def feature_matching_loss(
             # intermediate feats may be bf16 under the fp16 policy; reduce in
             # f32 so the loss scalar keeps full precision
             target = jax.lax.stop_gradient(pred_real[i][j]).astype(jnp.float32)
-            total = total + d_weights * feat_weights * lambda_feat * jnp.mean(
-                jnp.abs(pred_fake[i][j].astype(jnp.float32) - target)
+            total = total + d_weights * feat_weights * lambda_feat * _wmean(
+                jnp.abs(pred_fake[i][j].astype(jnp.float32) - target),
+                sample_weight,
             )
     return total

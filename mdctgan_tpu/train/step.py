@@ -100,7 +100,7 @@ def build_train_step(
         return discriminator.apply({"params": d_params}, _nchw_to_nhwc(concat))
 
     def loss_fn(g_params, d_params, batch_stats, lr_audio, hr_audio, rng,
-                pool_old, pool_mask):
+                pool_old, pool_mask, sample_mask):
         rng_lr, rng_hr = jax.random.split(rng)
         lr_spec, _, _ = transform.lr_forward(lr_audio, rng=rng_lr)
         hr_spec, _, _ = transform.hr_forward(hr_audio, rng=rng_hr)
@@ -134,14 +134,18 @@ def build_train_step(
         pred_fake_d = [[f[:bsz] for f in scale] for scale in both]
         pred_real = [[f[bsz:] for f in scale] for scale in both]
 
-        loss_g_gan = gan_loss(pred_fake_g, True, use_lsgan)
+        loss_g_gan = gan_loss(pred_fake_g, True, use_lsgan,
+                              sample_weight=sample_mask)
         loss_g_feat = (
-            feature_matching_loss(pred_fake_g, pred_real, n_layers_d, num_d, lambda_feat)
+            feature_matching_loss(pred_fake_g, pred_real, n_layers_d, num_d,
+                                  lambda_feat, sample_weight=sample_mask)
             if use_ganfeat
             else jnp.zeros(())
         )
-        loss_d_fake = gan_loss(pred_fake_d, False, use_lsgan)
-        loss_d_real = gan_loss(pred_real, True, use_lsgan)
+        loss_d_fake = gan_loss(pred_fake_d, False, use_lsgan,
+                               sample_weight=sample_mask)
+        loss_d_real = gan_loss(pred_real, True, use_lsgan,
+                               sample_weight=sample_mask)
 
         loss_g = loss_g_gan + loss_g_feat
         loss_d = 0.5 * (loss_d_fake + loss_d_real)
@@ -161,7 +165,15 @@ def build_train_step(
 
     def train_step(state: GANTrainState, batch: Dict[str, Array], rng: Array,
                    pool_old: Optional[Array] = None,
-                   pool_mask: Optional[Array] = None):
+                   pool_mask: Optional[Array] = None,
+                   sample_mask: Optional[Array] = None):
+        """``sample_mask`` (B,) 0/1 weights the final partial batch per epoch
+        (the reference's drop_last=False remainder) without changing the
+        compiled batch shape; None (the default) = every sample counts.
+        NB: generator BatchNorm batch statistics still see the full batch —
+        here every row is a real sample from the random stream, so this is
+        full-batch statistics rather than the reference's smaller-batch
+        statistics on its remainder batch (documented in PARITY.md)."""
         grad_fn = jax.grad(loss_fn, argnums=(0, 1), has_aux=True)
         (g_grads, d_grads), (metrics, new_stats) = grad_fn(
             state.g_params,
@@ -172,6 +184,7 @@ def build_train_step(
             rng,
             pool_old,
             pool_mask,
+            sample_mask,
         )
         g_updates, g_opt_state = g_tx.update(g_grads, state.g_opt_state, state.g_params)
         d_updates, d_opt_state = d_tx.update(d_grads, state.d_opt_state, state.d_params)

@@ -86,7 +86,12 @@ def main() -> None:
             deterministic=opt.deterministic_eval,
         )
     dataset_size = len(train_ds)
-    steps_per_epoch = max(dataset_size // opt.batchSize, 1)
+    # ceil: the reference's DataLoader yields the final partial batch
+    # (drop_last=False, custom_dataset_data_loader.py:38-44).  XLA shapes
+    # stay static — the last step runs at the compiled batch size with a 0/1
+    # sample_mask weighting only the first `last_batch_real` rows.
+    steps_per_epoch = max(-(-dataset_size // opt.batchSize), 1)
+    last_batch_real = dataset_size - (steps_per_epoch - 1) * opt.batchSize
     print(f"#training files = {dataset_size}")
 
     # ------------------------------------------------------------------ mesh
@@ -311,16 +316,27 @@ def main() -> None:
                 iter_start = time.time()
                 batch = next(pipeline)
                 rng, sub = jax.random.split(rng)
+                # partial-batch weighting: when the epoch doesn't divide
+                # evenly, EVERY step passes a mask (ones except the last
+                # step's padding rows) so the run compiles ONE program
+                sample_mask = None
+                if last_batch_real < opt.batchSize:
+                    k = (last_batch_real
+                         if it == steps_per_epoch - 1 else opt.batchSize)
+                    sample_mask = jnp.asarray(
+                        (np.arange(opt.batchSize) < k).astype(np.float32))
                 if pool.enabled:
                     b, c = opt.batchSize, opt.input_nc + opt.output_nc
                     shape = (b, c, cfg.n_bins, cfg.n_fft // 2)
                     old, mask = pool.presample(shape)
                     state, metrics = step_fn(
-                        state, batch, sub, jnp.asarray(old), jnp.asarray(mask)
+                        state, batch, sub, jnp.asarray(old), jnp.asarray(mask),
+                        sample_mask,
                     )
                     pool.commit(np.asarray(metrics.pop("fake_concat")))
                 else:
-                    state, metrics = step_fn(state, batch, sub)
+                    state, metrics = step_fn(
+                        state, batch, sub, sample_mask=sample_mask)
                 opt_steps += 1
                 fire = clock.tick()
                 total_steps = clock.total

@@ -239,3 +239,59 @@ def test_gradient_accumulation_matches_plain_step(rng):
         ),
         accum.d_params, plain.d_params,
     )
+
+
+def test_sample_mask_matches_small_batch(rng):
+    """Partial-batch pad+mask (the reference's drop_last=False remainder,
+    custom_dataset_data_loader.py:38-44): a step on a batch-4 program with
+    sample_mask [1,1,1,0] must produce the same G/D gradients as a step on
+    the same first 3 samples at batch 3.  Geometry without BatchNorm
+    (n_attn=0) so no cross-sample coupling exists; SGD(lr=1) so the update
+    delta IS the gradient."""
+    tf = SpectralTransform(TINY)
+    gen = GlobalGenerator(
+        input_nc=2, output_nc=1, ngf=4, n_downsampling=2, n_blocks=1,
+        n_attn=0, heads=2, dim_head=4, input_size=(32, 32),
+        downsample_type="resconv", upsample_type="interpolate",
+    )
+    disc = MultiscaleDiscriminator(ndf=4, n_layers=2, num_D=2)
+    tx = optax.sgd(1.0)
+    state = create_train_state(
+        jax.random.PRNGKey(0), gen, disc, tx, tx,
+        spectro_shape=(32, 32), g_in_channels=2, d_in_channels=3,
+    )
+    step = build_train_step(gen, disc, tf, tx, tx, num_d=2, n_layers_d=2,
+                            donate=False)
+
+    batch4 = make_batch(rng, b=4)
+    batch3 = {k: v[:3] for k, v in batch4.items()}
+    key = jax.random.PRNGKey(7)
+    mask = jnp.asarray([1.0, 1.0, 1.0, 0.0])
+
+    masked, m_metrics = step(state, batch4, key, sample_mask=mask)
+    small, s_metrics = step(state, batch3, key)
+
+    for name in ("loss_G", "loss_D"):
+        np.testing.assert_allclose(
+            float(m_metrics[name]), float(s_metrics[name]), rtol=1e-4)
+    for label, a_tree, b_tree in (
+        ("G", masked.g_params, small.g_params),
+        ("D", masked.d_params, small.d_params),
+    ):
+        for a, b in zip(jax.tree.leaves(a_tree), jax.tree.leaves(b_tree)):
+            a, b = np.asarray(a), np.asarray(b)
+            err = float(np.linalg.norm((a - b).ravel()))
+            bound = 1e-4 * float(np.linalg.norm(b.ravel())) + 5e-5
+            assert err <= bound, f"{label}: ||diff||={err:.3e} > {bound:.3e}"
+
+    # sanity: an all-ones mask reproduces the unmasked step (up to f32
+    # reduction-order noise: the weighted path reduces per-sample means,
+    # the plain path one global mean)
+    ones, _ = step(state, batch4, key, sample_mask=jnp.ones(4))
+    plain, _ = step(state, batch4, key)
+    for a, b in zip(jax.tree.leaves(ones.g_params),
+                    jax.tree.leaves(plain.g_params)):
+        a, b = np.asarray(a), np.asarray(b)
+        err = float(np.linalg.norm((a - b).ravel()))
+        bound = 1e-5 * float(np.linalg.norm(b.ravel())) + 5e-5
+        assert err <= bound, f"ones-mask: ||diff||={err:.3e} > {bound:.3e}"
