@@ -59,6 +59,14 @@ class BaseOptions:
                        help="fused Pallas MDCT/IMDCT+normalize kernels: auto "
                             "enables on a single TPU chip when the spectral "
                             "config is compatible")
+        p.add_argument("--upsample_method", type=str, default="auto",
+                       choices=["auto", "dilated", "phase", "dense"],
+                       help="upsample-conv fusion form (equal math; auto = "
+                            "dilated, the measured-fastest on v5e — "
+                            "docs/PERFORMANCE.md)")
+        p.add_argument("--head_phases", type=str, default="",
+                       help="tanh-head polyphase fold: '16' (1-D) or '4x8' "
+                            "(2-D, the shipped default); empty = auto")
         p.add_argument("--local_rank", type=int, default=0)
         p.add_argument("--seed", type=int, default=42)
         p.add_argument("--fit_residual", action="store_true", default=False)
@@ -125,6 +133,15 @@ class BaseOptions:
             self.initialize()
         self.opt = self.parser.parse_args(args)
         self.opt.isTrain = self.isTrain
+
+        # the perf-form selectors resolve at TRACE time through env hooks
+        # (models/layers.py reads them when "auto"); the flags set those
+        # hooks centrally for every CLI.  An explicit env var set by the
+        # user keeps winning when the flag is at its default.
+        if self.opt.upsample_method != "auto":
+            os.environ["MDCTGAN_UPSAMPLE_METHOD"] = self.opt.upsample_method
+        if self.opt.head_phases:
+            os.environ["MDCTGAN_HEAD_PHASES"] = self.opt.head_phases
 
         str_ids = str(self.opt.gpu_ids).split(",")
         self.opt.gpu_ids = [int(s) for s in str_ids if int(s) >= 0]
