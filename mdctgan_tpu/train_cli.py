@@ -30,7 +30,7 @@ from mdctgan_tpu.models.generator import build_generator
 from mdctgan_tpu.ops.features import SpectralTransform
 from mdctgan_tpu.ops.metrics import compute_metrics
 from mdctgan_tpu.options import TrainOptions, spectral_config_from_opt, use_fused_from_opt
-from mdctgan_tpu.parallel.mesh import make_mesh, replicate
+from mdctgan_tpu.parallel.mesh import make_mesh, put_global_batch, replicate
 from mdctgan_tpu.train import checkpoint as ckpt_mod
 from mdctgan_tpu.train import import_torch
 from mdctgan_tpu.train.freeze import masked_optimizer, param_labels
@@ -318,13 +318,18 @@ def main() -> None:
                 rng, sub = jax.random.split(rng)
                 # partial-batch weighting: when the epoch doesn't divide
                 # evenly, EVERY step passes a mask (ones except the last
-                # step's padding rows) so the run compiles ONE program
+                # step's padding rows) so the run compiles ONE program.
+                # The mask rides the batch sharding: under --multihost each
+                # process contributes its LOCAL tail mask and the global
+                # batch axis is batchSize * process_count.
                 sample_mask = None
                 if last_batch_real < opt.batchSize:
                     k = (last_batch_real
                          if it == steps_per_epoch - 1 else opt.batchSize)
-                    sample_mask = jnp.asarray(
-                        (np.arange(opt.batchSize) < k).astype(np.float32))
+                    sample_mask = put_global_batch(
+                        (np.arange(opt.batchSize) < k).astype(np.float32),
+                        batch_sharding,
+                    )
                 if pool.enabled:
                     b, c = opt.batchSize, opt.input_nc + opt.output_nc
                     shape = (b, c, cfg.n_bins, cfg.n_fft // 2)

@@ -295,3 +295,25 @@ def test_sample_mask_matches_small_batch(rng):
         err = float(np.linalg.norm((a - b).ravel()))
         bound = 1e-5 * float(np.linalg.norm(b.ravel())) + 5e-5
         assert err <= bound, f"ones-mask: ||diff||={err:.3e} > {bound:.3e}"
+
+
+def test_sample_mask_on_mesh(rng):
+    """The masked step under the 8-device DP mesh, mask sharded like the
+    batch (the --multihost layout): runs, finite, and masking the last 2
+    rows changes the losses vs all-ones."""
+    from mdctgan_tpu.parallel.mesh import batch_sharding
+
+    assert len(jax.devices()) >= 8
+    tf, gen, disc, state, step = make_setup()
+    mesh = make_mesh(8)
+    state = replicate(state, mesh)
+    batch = shard_batch(make_batch(rng, b=8), mesh)
+    sharding = batch_sharding(mesh)
+    key = jax.random.PRNGKey(0)
+    mask_partial = jax.device_put(
+        (np.arange(8) < 6).astype(np.float32), sharding)
+    mask_ones = jax.device_put(np.ones(8, np.float32), sharding)
+    _, m_partial = step(state, batch, key, sample_mask=mask_partial)
+    _, m_ones = step(state, batch, key, sample_mask=mask_ones)
+    assert np.isfinite(float(m_partial["loss_G"]))
+    assert float(m_partial["loss_G"]) != float(m_ones["loss_G"])
