@@ -118,10 +118,11 @@ class AudioDataset:
 
     def sample_batch(self, batch_size: int) -> Tuple[np.ndarray, int]:
         """Stack a batch; all VCTK files share one rate — assert homogeneous."""
-        segs, rates = zip(*(self.sample() for _ in range(batch_size)))
-        if len(set(rates)) != 1:
-            raise ValueError(f"mixed sample rates in batch: {set(rates)}")
-        return np.stack(segs), rates[0]
+        segs, rates = self.sample_batch_rates(batch_size)
+        uniq = set(rates.tolist())
+        if len(uniq) != 1:
+            raise ValueError(f"mixed sample rates in batch: {uniq}")
+        return segs, int(rates[0])
 
     def sample_batch_rates(self, batch_size: int) -> Tuple[np.ndarray, np.ndarray]:
         """Stack a batch keeping each item's own sample rate (mixed-rate

@@ -123,6 +123,18 @@ class InputPipeline:
         batch runs one full-batch program per distinct rate (uniform shapes,
         so at most one compile per rate ever) and selects rows on device."""
         uniq = np.unique(rates)
+        if jax.process_count() > 1 and (
+            len(uniq) > 1 or int(uniq[0]) != self.orig_freq
+        ):
+            # under --multihost every process must issue the SAME program
+            # sequence on the global mesh; per-process rate draws diverge
+            # (and the row-select mask below is local-shaped while `wave`
+            # is global).  Resample such corpora offline first.
+            raise ValueError(
+                f"mixed/non-probed sample rates {sorted(uniq.tolist())} are "
+                f"unsupported under multi-process training (pipeline probed "
+                f"{self.orig_freq} Hz); single-process runs handle them"
+            )
         if len(uniq) == 1:
             return self._degrade_for(int(uniq[0]))(wave, rng)
         out: Optional[Dict[str, jax.Array]] = None

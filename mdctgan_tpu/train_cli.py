@@ -89,9 +89,17 @@ def main() -> None:
     # ceil: the reference's DataLoader yields the final partial batch
     # (drop_last=False, custom_dataset_data_loader.py:38-44).  XLA shapes
     # stay static — the last step runs at the compiled batch size with a 0/1
-    # sample_mask weighting only the first `last_batch_real` rows.
-    steps_per_epoch = max(-(-dataset_size // opt.batchSize), 1)
+    # sample_mask weighting only the first `last_batch_real` rows.  Sound
+    # only for the default RANDOM sampler (masked rows are discarded iid
+    # draws); under --serial_batches the stream's cursor would rotate past
+    # the masked wrap-around files and systematically skip them, so serial
+    # keeps drop-last epochs.
+    if opt.serial_batches:
+        steps_per_epoch = max(dataset_size // opt.batchSize, 1)
+    else:
+        steps_per_epoch = max(-(-dataset_size // opt.batchSize), 1)
     last_batch_real = dataset_size - (steps_per_epoch - 1) * opt.batchSize
+    last_batch_real = min(last_batch_real, opt.batchSize)
     print(f"#training files = {dataset_size}")
 
     # ------------------------------------------------------------------ mesh
@@ -244,7 +252,7 @@ def main() -> None:
 
         for i in range(0, n, bs):
             k = min(bs, n - i)
-            hr, sr_rate = eval_ds.sample_batch(k)
+            hr, rates = eval_ds.sample_batch_rates(k)
             if k < bs:
                 # pad the remainder batch to the compiled shape (a new batch
                 # shape would cost a fresh multi-minute remote-TPU compile of
@@ -252,12 +260,25 @@ def main() -> None:
                 hr = np.concatenate(
                     [hr, np.zeros((bs - k, hr.shape[-1]), hr.dtype)]
                 )
+                rates = np.concatenate([rates, np.full(bs - k, rates[0])])
             hr_j = jnp.asarray(hr)
-            hr_dev = fix_length(resample(hr_j, sr_rate, cfg.hr_sampling_rate),
-                                cfg.segment_length)
-            lr_dev = fix_length(
-                degrade_lr(hr_j, sr_rate, cfg.lr_sampling_rate, cfg.hr_sampling_rate),
-                cfg.segment_length)
+            # per-item sample rates, like the training pipeline: run the
+            # full batch through each distinct rate's resample program and
+            # select rows on device (at most one compile per rate ever)
+            hr_dev = lr_dev = None
+            for r in np.unique(rates):
+                h = fix_length(resample(hr_j, int(r), cfg.hr_sampling_rate),
+                               cfg.segment_length)
+                low = fix_length(
+                    degrade_lr(hr_j, int(r), cfg.lr_sampling_rate,
+                               cfg.hr_sampling_rate),
+                    cfg.segment_length)
+                if hr_dev is None:
+                    hr_dev, lr_dev = h, low
+                else:
+                    m = jnp.asarray((rates == r).reshape(-1, 1))
+                    hr_dev = jnp.where(m, h, hr_dev)
+                    lr_dev = jnp.where(m, low, lr_dev)
             g_vars = {"params": state.g_params, "batch_stats": state.batch_stats}
             _, sr_audio = infer_fn(g_vars, lr_dev)
             m = compute_metrics(hr_dev[:k], lr_dev[:k],
@@ -295,6 +316,16 @@ def main() -> None:
             print(f"[eval] step {step}: " +
                   " ".join(f"{k}={v:.4f}" for k, v in avg.items()))
 
+    # partial-batch masks, device-resident once (an H2D per step would cost
+    # a tunnel round trip each on remote TPUs); None when epochs divide
+    mask_full = mask_tail = None
+    if last_batch_real < opt.batchSize:
+        mask_full = put_global_batch(
+            np.ones(opt.batchSize, np.float32), batch_sharding)
+        mask_tail = put_global_batch(
+            (np.arange(opt.batchSize) < last_batch_real).astype(np.float32),
+            batch_sharding)
+
     rng = jax.random.PRNGKey(opt.seed)
     # total_steps counts SAMPLES, reference train.py:81,154-155; a resumed
     # run keeps the original trigger cadence via the FreqClock deltas
@@ -319,17 +350,11 @@ def main() -> None:
                 # partial-batch weighting: when the epoch doesn't divide
                 # evenly, EVERY step passes a mask (ones except the last
                 # step's padding rows) so the run compiles ONE program.
-                # The mask rides the batch sharding: under --multihost each
-                # process contributes its LOCAL tail mask and the global
-                # batch axis is batchSize * process_count.
-                sample_mask = None
-                if last_batch_real < opt.batchSize:
-                    k = (last_batch_real
-                         if it == steps_per_epoch - 1 else opt.batchSize)
-                    sample_mask = put_global_batch(
-                        (np.arange(opt.batchSize) < k).astype(np.float32),
-                        batch_sharding,
-                    )
+                # The masks ride the batch sharding (hoisted above the loop):
+                # under --multihost each process contributes its LOCAL tail
+                # mask and the global batch axis is batchSize*process_count.
+                is_tail = it == steps_per_epoch - 1 and mask_tail is not None
+                sample_mask = mask_tail if is_tail else mask_full
                 if pool.enabled:
                     b, c = opt.batchSize, opt.input_nc + opt.output_nc
                     shape = (b, c, cfg.n_bins, cfg.n_fft // 2)
@@ -338,7 +363,13 @@ def main() -> None:
                         state, batch, sub, jnp.asarray(old), jnp.asarray(mask),
                         sample_mask,
                     )
-                    pool.commit(np.asarray(metrics.pop("fake_concat")))
+                    fakes = np.asarray(metrics.pop("fake_concat"))
+                    if is_tail:
+                        # keep zero-weighted padding rows OUT of the replay
+                        # buffer (the reference's remainder batch only ever
+                        # inserts its real images, util/image_pool.py:11-30)
+                        fakes = fakes[:last_batch_real]
+                    pool.commit(fakes)
                 else:
                     state, metrics = step_fn(
                         state, batch, sub, sample_mask=sample_mask)

@@ -66,12 +66,17 @@ class ImagePool:
         return old, mask
 
     def commit(self, fakes: np.ndarray) -> None:
-        """Apply the pool mutations decided by the last presample()."""
+        """Apply the pool mutations decided by the last presample().
+
+        ``fakes`` may carry fewer rows than presample() drew decisions for:
+        the final partial batch per epoch commits only its real rows, and
+        the padding rows' pending decisions are dropped (the reference's
+        remainder batch only ever inserts its real images)."""
         if not self.enabled or self._pending is None:
             return
         slots = self._pending
         self._pending = None
-        for i, s in enumerate(slots):
+        for i, s in enumerate(slots[: len(fakes)]):
             if s == -2:
                 self.images.append(np.asarray(fakes[i]))
             elif s >= 0:

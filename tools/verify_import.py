@@ -77,7 +77,17 @@ def _report(sd, entries, expected_shapes, key_map, label):
 
     renamed = {}
     if key_map:
-        consumed_ok = expected & present
+        # mirror the importer exactly (import_torch.py convert_state_dict):
+        # a present key with the WRONG shape counts as missing/not-consumed
+        # (the reference's ``param.size() != model_dict[name].size()`` test),
+        # so --param_key_map may rename it
+        from mdctgan_tpu.train.import_torch import _to_np as _np
+
+        consumed_ok = {
+            k for k in expected & present
+            if expected_shapes.get(k) is None
+            or tuple(expected_shapes[k]) == tuple(np.shape(_np(sd[k])))
+        }
         before = set(sd)
         sd2 = import_torch.apply_param_key_map(dict(sd), key_map, consumed_ok)
         for k in set(sd2) - before:
