@@ -122,6 +122,24 @@ def test_pool_smaller_than_batch():
         assert len(pool.images) == pool_size
 
 
+def test_pool_commit_tail_sliced():
+    """The final partial batch per epoch commits only its real rows; the
+    padding rows' pending decisions are dropped without error and never
+    enter the replay buffer."""
+    from mdctgan_tpu.utils.pool import ImagePool
+
+    pool = ImagePool(8, seed=0)
+    shape = (4, 1, 2, 2)
+    old, mask = pool.presample(shape)          # 4 append decisions pending
+    pool.commit(np.full((2, 1, 2, 2), 7.0, np.float32))  # only 2 real rows
+    assert len(pool.images) == 2
+    assert all(img.max() == 7.0 for img in pool.images)
+    # next presample/commit round works normally after the drop
+    old, mask = pool.presample(shape)
+    pool.commit(np.full(shape, 8.0, np.float32))
+    assert len(pool.images) == 6
+
+
 # --------------------------------------------------------------------------
 # LR schedule
 # --------------------------------------------------------------------------
