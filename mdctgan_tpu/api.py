@@ -140,4 +140,8 @@ def upsample(
         _, sr_audio = model.inference(g_vars, x)
         outs.append(np.asarray(sr_audio[..., : cfg.segment_length]))
     sr_segments = np.concatenate(outs)[:n]
-    return ds.stitch(sr_segments)
+    # crop the segment-padding tail so output duration matches the input's
+    # rate-converted length — without this a clip that doesn't fill the last
+    # segment returns up to segment_length-1 synthesized-from-zeros samples
+    out_len = int(round(len(ds.raw_audio) * cfg.hr_sampling_rate / sample_rate))
+    return ds.stitch(sr_segments)[:out_len]

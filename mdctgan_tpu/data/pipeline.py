@@ -69,7 +69,19 @@ class InputPipeline:
         self.batch_size = batch_size
         self.sharding = sharding
         if orig_freq is None:
-            orig_freq, _ = dataset._probe(0)
+            # probe past undecodable leading files (the data layer's
+            # skip-on-decode-failure contract, dataset.py sample()) instead
+            # of aborting training on a corrupt first CSV entry
+            for j in range(len(dataset)):
+                try:
+                    orig_freq, _ = dataset._probe(j)
+                    break
+                except Exception:
+                    continue
+            if orig_freq is None:
+                raise RuntimeError(
+                    f"no decodable audio files in dataset ({len(dataset)} "
+                    "entries, all failed to probe)")
         self.orig_freq = orig_freq
         self._add_noise, self._snr = add_noise, snr
         # one jitted degrade program per observed sample rate (the reference

@@ -109,11 +109,26 @@ def _process_file(path, opt, cfg, transform, infer, g_vars, sharding=None):
     sr_segments = np.concatenate([np.asarray(o) for o in outs])[:n]
 
     sr = ds.stitch(sr_segments)
-    # With gen_overlap > 0 the unfold can drop a sub-stride tail, leaving the
-    # stitched SR shorter than the input (the reference crashes there,
-    # generate_audio.py:57-60); crop everything to the common length instead.
-    audio_len = min(ds.audio_len, len(sr), len(lr_np))
-    hr = ds.raw_audio[:audio_len]
+    # sr/lr live at cfg.hr_sampling_rate while the raw input may be at
+    # another rate.  The reference crops everything to the RAW sample count
+    # and compares pointwise anyway (generate_audio.py:57-60) — for a
+    # rate-mismatched input that truncates the SR to in_rate/hr_rate of its
+    # duration and diffs signals at different rates.  Here the reference
+    # signal is resampled to the HR rate first, so the comparison is
+    # rate-consistent and the written SR keeps its full duration; for the
+    # common equal-rate corpus this is bit-identical to the reference crop.
+    # (With gen_overlap > 0 the unfold can also drop a sub-stride tail —
+    # the reference crashes there; the min() crop below handles it.)
+    if ds.in_sampling_rate == cfg.hr_sampling_rate:
+        hr_ref, hr_rate = ds.raw_audio, ds.in_sampling_rate
+    else:
+        hr_ref = np.asarray(
+            resample(jnp.asarray(ds.raw_audio)[None], ds.in_sampling_rate,
+                     cfg.hr_sampling_rate)
+        )[0]
+        hr_rate = cfg.hr_sampling_rate
+    audio_len = min(len(hr_ref), len(sr), len(lr_np))
+    hr = hr_ref[:audio_len]
     m = compute_metrics(
         jnp.asarray(hr)[None],
         jnp.asarray(lr_np[:audio_len])[None],
@@ -128,7 +143,7 @@ def _process_file(path, opt, cfg, transform, infer, g_vars, sharding=None):
     print(f"SNR_LR: {metrics['snr_lr']:.4f}")
     print(f"SNR_SEG: {metrics['snr_seg']:.4f}")
     print(f"LSD: {metrics['lsd']:.4f}")
-    return sr[:audio_len], lr_np[:audio_len], hr, ds.in_sampling_rate, metrics
+    return sr[:audio_len], lr_np[:audio_len], hr, hr_rate, metrics
 
 
 def main() -> None:

@@ -261,7 +261,11 @@ def main() -> None:
                     [hr, np.zeros((bs - k, hr.shape[-1]), hr.dtype)]
                 )
                 rates = np.concatenate([rates, np.full(bs - k, rates[0])])
-            hr_j = jnp.asarray(hr)
+            # the eval inputs must live on the SAME (global) mesh as the
+            # replicated params: under --multihost every process draws the
+            # identical eval batch (same seed, same file list), so the
+            # global array is consistent and every host runs one program
+            hr_j = put_global_batch(hr, batch_sharding)
             # per-item sample rates, like the training pipeline: run the
             # full batch through each distinct rate's resample program and
             # select rows on device (at most one compile per rate ever)
@@ -276,7 +280,8 @@ def main() -> None:
                 if hr_dev is None:
                     hr_dev, lr_dev = h, low
                 else:
-                    m = jnp.asarray((rates == r).reshape(-1, 1))
+                    m = put_global_batch((rates == r).reshape(-1, 1),
+                                         batch_sharding)
                     hr_dev = jnp.where(m, h, hr_dev)
                     lr_dev = jnp.where(m, low, lr_dev)
             g_vars = {"params": state.g_params, "batch_stats": state.batch_stats}

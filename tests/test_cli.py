@@ -338,6 +338,36 @@ def test_generate_audio_smoke(tmp_path, wav_csv):
     assert len(lines) == 5  # header + 3 processed files + MEAN
     assert lines[-1].startswith("MEAN,")
 
+    # ---- rate-mismatched input (--is_lr_input, 16 kHz file): the SR output
+    # keeps its FULL upsampled duration and metrics compare at the HR rate
+    # (regression: cross-rate crop truncated SR to in_rate/hr_rate of the
+    # clip; the reference has the same quirk, generate_audio.py:57-60) ----
+    rng16 = np.random.default_rng(1)
+    lr16 = (0.3 * rng16.standard_normal(8000)).astype(np.float32)
+    pcm16 = np.clip(np.rint(lr16 * 32768.0), -32768, 32767).astype("<i2")
+    lr_path = wav_csv.parent / "lr16.wav"
+    with wave.open(str(lr_path), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(pcm16.tobytes())
+    r = _run([
+        "generate_audio.py", "--name", "genlr", "--phase", "test",
+        "--dataroot", str(lr_path), "--batchSize", "2", "--gen_overlap", "512",
+        "--is_lr_input", "--load_pretrain", str(pretrain_dir),
+    ] + flags)
+    assert r.returncode == 0, r.stderr[-3000:]
+    out = tmp_path / "out" / "genlr"
+    with wave.open(str(out / "sr_audio.wav")) as w:
+        assert w.getframerate() == 48000
+        n_sr = w.getnframes()
+    with wave.open(str(out / "hr_audio.wav")) as w:
+        assert w.getframerate() == 48000  # reference signal resampled to HR
+        n_hr = w.getnframes()
+    # full upsampled duration (8000 @ 16k -> 24000 @ 48k), minus at most a
+    # sub-stride overlap tail — NOT truncated to the raw 8000 samples
+    assert n_sr == n_hr and 22000 <= n_sr <= 24000, n_sr
+
 
 def test_api_create_model_and_upsample(tmp_path):
     """High-level API: create_model + one-call upsample of an in-memory wave."""
@@ -365,7 +395,10 @@ def test_api_create_model_and_upsample(tmp_path):
         2 * np.pi * 440 * np.arange(20000) / 48000
     ).astype(np.float32)
     out = upsample(wave, 48000, model.g_vars(), model, batch_size=2)
-    assert out.ndim == 1 and len(out) >= 20000
+    # duration parity: the output is cropped to the (resampled) input length
+    # (regression: the stitched result used to carry up to segment_length-1
+    # synthesized-from-zero-padding samples)
+    assert out.ndim == 1 and len(out) == 20000
     assert np.isfinite(out).all()
 
     # DP serving through the API: same output on a 2-device mesh
