@@ -12,6 +12,7 @@
 
 #include <algorithm>
 #include <atomic>
+#include <chrono>
 #include <cmath>
 #include <condition_variable>
 #include <cstdint>
@@ -73,22 +74,34 @@ bool read_wav_header(std::FILE* f, WavInfo* info) {
     if (std::fread(id, 1, 4, f) != 4 || std::fread(&size, 4, 1, f) != 1)
       return false;
     if (std::memcmp(id, "fmt ", 4) == 0) {
+      // fmt chunks are tens of bytes in real files — a corrupt size field
+      // must not drive a multi-GiB zero-init allocation (the FLAC path got
+      // the same corrupt-input caps earlier)
+      if (size < 16 || size > (1u << 20)) return false;
       std::vector<uint8_t> buf(size);
       if (std::fread(buf.data(), 1, size, f) != size) return false;
-      if (size < 16) return false;
-      info->format = *reinterpret_cast<uint16_t*>(&buf[0]);
-      info->channels = *reinterpret_cast<uint16_t*>(&buf[2]);
-      info->sample_rate = *reinterpret_cast<uint32_t*>(&buf[4]);
-      info->bits_per_sample = *reinterpret_cast<uint16_t*>(&buf[14]);
+      auto rd16 = [&](size_t off) {
+        uint16_t v;
+        std::memcpy(&v, &buf[off], 2);  // unaligned-safe (decode_frames idiom)
+        return v;
+      };
+      uint32_t v32;
+      std::memcpy(&v32, &buf[4], 4);
+      info->format = rd16(0);
+      info->channels = rd16(2);
+      info->sample_rate = v32;
+      info->bits_per_sample = rd16(14);
       if (info->format == 0xFFFE && size >= 40) {  // WAVE_FORMAT_EXTENSIBLE
-        info->format = *reinterpret_cast<uint16_t*>(&buf[24]);
+        info->format = rd16(24);
       }
       have_fmt = true;
     } else if (std::memcmp(id, "data", 4) == 0) {
       // Byte-aligned samples only; a sub-byte bits_per_sample (e.g. ADPCM
       // headers) would make the frame size 0 and divide by zero below.
-      if (!have_fmt || info->channels == 0 || info->bits_per_sample == 0 ||
-          info->bits_per_sample % 8 != 0)
+      // Channel count capped: a corrupt header's 65535 channels would make
+      // decode_frames allocate frames*channels*bps.
+      if (!have_fmt || info->channels == 0 || info->channels > 256 ||
+          info->bits_per_sample == 0 || info->bits_per_sample % 8 != 0)
         return false;
       info->data_offset = static_cast<uint64_t>(std::ftell(f));
       info->num_frames = size / (info->channels * info->bits_per_sample / 8);
@@ -106,6 +119,12 @@ bool decode_frames(std::FILE* f, const WavInfo& info, uint64_t offset,
                    uint64_t frames, float* out) {
   const uint32_t bps = info.bits_per_sample / 8;
   const uint32_t frame_bytes = bps * info.channels;
+  if (offset >= info.num_frames) {
+    // fully past EOF (incl. huge/wrapped offsets): the documented zero-pad,
+    // without letting offset*frame_bytes overflow into a bogus fseek
+    std::fill(out, out + frames, 0.0f);
+    return true;
+  }
   if (std::fseek(f, static_cast<long>(info.data_offset + offset * frame_bytes),
                  SEEK_SET) != 0)
     return false;
@@ -194,6 +213,12 @@ class Prefetcher {
   void Work(uint64_t seed) {
     std::mt19937_64 rng(seed);
     std::uniform_int_distribution<size_t> pick(0, files_.size() - 1);
+    // Skip-on-failure must not become a silent infinite 100%-CPU spin when
+    // EVERY file is unreadable (wrong --dataroot, corrupt corpus): after a
+    // full corpus' worth of consecutive failures, shut the queue down so
+    // Next() returns false and the Python side raises.
+    const uint64_t max_streak = 4 * files_.size() + 64;
+    uint64_t fail_streak = 0;
     while (true) {
       {
         std::lock_guard<std::mutex> lk(mu_);
@@ -201,43 +226,63 @@ class Prefetcher {
       }
       size_t idx = pick(rng);
       Segment seg;
-      seg.data.assign(segment_frames_, 0.0f);
-      std::FILE* f = std::fopen(files_[idx].c_str(), "rb");
-      if (!f) continue;  // skip unreadable files (audio_dataset.py:56-65)
       bool ok = false;
-      char magic[4];
-      if (file_magic(f, magic) && std::memcmp(magic, "fLaC", 4) == 0) {
-        flacdec::Info finfo;
-        std::vector<float> mono;
-        ok = decode_flac_file(f, &finfo, &mono);
-        if (ok) {
-          uint64_t n = mono.size();
-          uint64_t max_start = n > segment_frames_ ? n - segment_frames_ : 0;
-          uint64_t off = max_start
-              ? std::uniform_int_distribution<uint64_t>(0, max_start - 1)(rng)
-              : 0;
-          uint64_t copy = n > off ? std::min<uint64_t>(n - off, segment_frames_)
-                                  : 0;
-          std::memcpy(seg.data.data(), mono.data() + off,
-                      copy * sizeof(float));
-          seg.sample_rate = finfo.sample_rate;
+      try {
+        seg.data.assign(segment_frames_, 0.0f);
+        std::FILE* f = std::fopen(files_[idx].c_str(), "rb");
+        if (f) {  // else: skip unreadable files (audio_dataset.py:56-65)
+          char magic[4];
+          if (file_magic(f, magic) && std::memcmp(magic, "fLaC", 4) == 0) {
+            flacdec::Info finfo;
+            std::vector<float> mono;
+            ok = decode_flac_file(f, &finfo, &mono);
+            if (ok) {
+              uint64_t n = mono.size();
+              uint64_t max_start =
+                  n > segment_frames_ ? n - segment_frames_ : 0;
+              uint64_t off = max_start
+                  ? std::uniform_int_distribution<uint64_t>(0, max_start)(rng)
+                  : 0;
+              uint64_t copy =
+                  n > off ? std::min<uint64_t>(n - off, segment_frames_) : 0;
+              std::memcpy(seg.data.data(), mono.data() + off,
+                          copy * sizeof(float));
+              seg.sample_rate = finfo.sample_rate;
+            }
+          } else {
+            WavInfo info;
+            ok = read_wav_header(f, &info);
+            if (ok) {
+              uint64_t max_start = info.num_frames > segment_frames_
+                                       ? info.num_frames - segment_frames_
+                                       : 0;
+              uint64_t off = max_start
+                  ? std::uniform_int_distribution<uint64_t>(0, max_start)(rng)
+                  : 0;
+              ok = decode_frames(f, info, off, segment_frames_,
+                                 seg.data.data());
+              seg.sample_rate = info.sample_rate;
+            }
+          }
+          std::fclose(f);
         }
-      } else {
-        WavInfo info;
-        ok = read_wav_header(f, &info);
-        if (ok) {
-          uint64_t max_start = info.num_frames > segment_frames_
-                                   ? info.num_frames - segment_frames_
-                                   : 0;
-          uint64_t off = max_start
-              ? std::uniform_int_distribution<uint64_t>(0, max_start - 1)(rng)
-              : 0;
-          ok = decode_frames(f, info, off, segment_frames_, seg.data.data());
-          seg.sample_rate = info.sample_rate;
-        }
+      } catch (...) {
+        // bad_alloc from a corrupt header etc. must skip the file, never
+        // std::terminate the worker thread (and with it the whole process)
+        ok = false;
       }
-      std::fclose(f);
-      if (!ok) continue;
+      if (!ok) {
+        if (++fail_streak >= max_streak) {
+          std::lock_guard<std::mutex> lk(mu_);
+          stop_ = true;
+          not_empty_.notify_all();
+          not_full_.notify_all();
+          return;
+        }
+        std::this_thread::sleep_for(std::chrono::milliseconds(1));
+        continue;
+      }
+      fail_streak = 0;
       std::unique_lock<std::mutex> lk(mu_);
       not_full_.wait(lk, [this] { return stop_ || queue_.size() < cap_; });
       if (stop_) return;
@@ -263,16 +308,26 @@ extern "C" {
 
 // Probe: returns 0 on success and fills (sample_rate, channels, num_frames).
 int audioio_info(const char* path, uint32_t* sample_rate, uint32_t* channels,
-                 uint64_t* num_frames) {
+                 uint64_t* num_frames) try {
   std::FILE* f = std::fopen(path, "rb");
   if (!f) return -1;
   char magic[4];
   if (file_magic(f, magic) && std::memcmp(magic, "fLaC", 4) == 0) {
-    std::vector<uint8_t> bytes;
-    bool ok = read_all_bytes(f, &bytes);
-    std::fclose(f);
+    // Probe needs only the metadata blocks (STREAMINFO is first and
+    // mandatory): try a bounded prefix so probing a corpus costs O(files),
+    // not O(corpus bytes); fall back to the whole file for the rare stream
+    // whose metadata (e.g. embedded artwork) exceeds the prefix.
+    std::vector<uint8_t> bytes(1u << 16);
+    size_t got = std::fread(bytes.data(), 1, bytes.size(), f);
+    bytes.resize(got);
     flacdec::Info info;
-    if (!ok || !flacdec::Probe(bytes.data(), bytes.size(), &info)) return -2;
+    bool ok = flacdec::Probe(bytes.data(), bytes.size(), &info);
+    if (!ok) {
+      if (std::fseek(f, 0, SEEK_SET) == 0 && read_all_bytes(f, &bytes))
+        ok = flacdec::Probe(bytes.data(), bytes.size(), &info);
+    }
+    std::fclose(f);
+    if (!ok) return -2;
     *sample_rate = info.sample_rate;
     *channels = info.channels;
     *num_frames = info.num_frames;
@@ -286,11 +341,13 @@ int audioio_info(const char* path, uint32_t* sample_rate, uint32_t* channels,
   *channels = info.channels;
   *num_frames = info.num_frames;
   return 0;
+} catch (...) {
+  return -3;  // never let bad_alloc cross the C ABI into ctypes
 }
 
 // Decode `frames` mono-float32 frames at `offset`; zero-pads past EOF.
 int audioio_read(const char* path, uint64_t offset, uint64_t frames,
-                 float* out, uint32_t* sample_rate) {
+                 float* out, uint32_t* sample_rate) try {
   std::FILE* f = std::fopen(path, "rb");
   if (!f) return -1;
   char magic[4];
@@ -302,7 +359,9 @@ int audioio_read(const char* path, uint64_t offset, uint64_t frames,
     if (!ok) return -2;
     uint64_t n = mono.size();
     for (uint64_t i = 0; i < frames; ++i)
-      out[i] = (offset + i < n) ? mono[offset + i] : 0.0f;
+      // offset >= n first: a huge/wrapped offset must zero-pad, not let
+      // offset + i wrap back under n and read the wrong samples
+      out[i] = (offset < n && i < n - offset) ? mono[offset + i] : 0.0f;
     *sample_rate = info.sample_rate;
     return 0;
   }
@@ -313,6 +372,8 @@ int audioio_read(const char* path, uint64_t offset, uint64_t frames,
   if (!ok) return -2;
   *sample_rate = info.sample_rate;
   return 0;
+} catch (...) {
+  return -3;  // never let bad_alloc cross the C ABI into ctypes
 }
 
 // Write a mono 16-bit PCM WAV (for generate_audio output parity).
@@ -325,18 +386,20 @@ int audioio_write_wav16(const char* path, const float* data, uint64_t frames,
   uint16_t fmt = 1, ch = 1, bits = 16;
   uint32_t byte_rate = sample_rate * 2, fmt_size = 16;
   uint16_t block_align = 2;
-  std::fwrite("RIFF", 1, 4, f);
-  std::fwrite(&riff_size, 4, 1, f);
-  std::fwrite("WAVEfmt ", 1, 8, f);
-  std::fwrite(&fmt_size, 4, 1, f);
-  std::fwrite(&fmt, 2, 1, f);
-  std::fwrite(&ch, 2, 1, f);
-  std::fwrite(&sample_rate, 4, 1, f);
-  std::fwrite(&byte_rate, 4, 1, f);
-  std::fwrite(&block_align, 2, 1, f);
-  std::fwrite(&bits, 2, 1, f);
-  std::fwrite("data", 1, 4, f);
-  std::fwrite(&data_bytes, 4, 1, f);
+  // every fwrite checked: a full disk/quota error must return a failure,
+  // never a silently truncated file with rc 0
+  bool ok = std::fwrite("RIFF", 1, 4, f) == 4 &&
+            std::fwrite(&riff_size, 4, 1, f) == 1 &&
+            std::fwrite("WAVEfmt ", 1, 8, f) == 8 &&
+            std::fwrite(&fmt_size, 4, 1, f) == 1 &&
+            std::fwrite(&fmt, 2, 1, f) == 1 &&
+            std::fwrite(&ch, 2, 1, f) == 1 &&
+            std::fwrite(&sample_rate, 4, 1, f) == 1 &&
+            std::fwrite(&byte_rate, 4, 1, f) == 1 &&
+            std::fwrite(&block_align, 2, 1, f) == 1 &&
+            std::fwrite(&bits, 2, 1, f) == 1 &&
+            std::fwrite("data", 1, 4, f) == 4 &&
+            std::fwrite(&data_bytes, 4, 1, f) == 1;
   std::vector<int16_t> pcm(frames);
   for (uint64_t i = 0; i < frames; ++i) {
     // Scale by 32768 (matching the decode divisor) and round-to-nearest so a
@@ -346,18 +409,20 @@ int audioio_write_wav16(const char* path, const float* data, uint64_t frames,
     if (v < -32768.0f) v = -32768.0f;
     pcm[i] = static_cast<int16_t>(std::lrintf(v));
   }
-  std::fwrite(pcm.data(), 2, frames, f);
-  std::fclose(f);
-  return 0;
+  ok = std::fwrite(pcm.data(), 2, frames, f) == frames && ok;
+  ok = std::fclose(f) == 0 && ok;  // fclose flushes — its error counts too
+  return ok ? 0 : -2;
 }
 
 void* audioio_prefetcher_create(const char** paths, uint64_t n_paths,
                                 uint64_t segment_frames, int n_threads,
-                                int queue_cap, uint64_t seed) {
+                                int queue_cap, uint64_t seed) try {
   std::vector<std::string> files(paths, paths + n_paths);
   if (files.empty()) return nullptr;
   return new Prefetcher(std::move(files), segment_frames, n_threads, queue_cap,
                         seed);
+} catch (...) {
+  return nullptr;
 }
 
 int audioio_prefetcher_next(void* p, float* out, uint32_t* sample_rate) {

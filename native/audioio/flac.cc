@@ -240,21 +240,25 @@ bool DecodeSubframe(BitReader* br, uint32_t block_size, int bps,
       if (!br->ReadSigned(precision, &coef[i])) return false;
     if (!DecodeResidual(br, block_size, order, x)) return false;
     for (uint32_t i = order; i < block_size; ++i) {
-      int64_t acc = 0;
-      for (uint32_t j = 0; j < order; ++j) acc += coef[j] * x[i - 1 - j];
-      x[i] += acc >> shift;
+      // accumulate in uint64 (defined wraparound) — crafted coefficients can
+      // make the feedback grow geometrically and a signed overflow is UB;
+      // corrupt input then yields garbage samples, never undefined behavior
+      uint64_t acc = 0;
+      for (uint32_t j = 0; j < order; ++j)
+        acc += static_cast<uint64_t>(coef[j]) *
+               static_cast<uint64_t>(x[i - 1 - j]);
+      x[i] = static_cast<int64_t>(
+          static_cast<uint64_t>(x[i]) +
+          static_cast<uint64_t>(static_cast<int64_t>(acc) >> shift));
     }
   } else {
     return false;  // reserved type
   }
   if (wasted)
-    for (uint32_t i = 0; i < block_size; ++i) x[i] <<= wasted;
+    for (uint32_t i = 0; i < block_size; ++i)
+      x[i] = static_cast<int64_t>(static_cast<uint64_t>(x[i]) << wasted);
   return true;
 }
-
-const uint32_t kSampleRates[12] = {0,     88200, 176400, 192000,
-                                   8000,  16000, 22050,  24000,
-                                   32000, 44100, 48000,  96000};
 
 }  // namespace
 
@@ -361,7 +365,6 @@ bool DecodeMono(const uint8_t* data, size_t size, Info* info,
     } else if (sr_code == 15) {
       return false;
     }
-    (void)kSampleRates;
 
     int bps;
     switch (ss_code) {
@@ -397,11 +400,16 @@ bool DecodeMono(const uint8_t* data, size_t size, Info* info,
 
     // Stereo decorrelation -> emit channel 0 (left).
     if (ch_asgn == 9) {  // right/side: ch0 = side, ch1 = right
-      for (uint32_t i = 0; i < block_size; ++i) ch[0][i] += ch[1][i];
+      for (uint32_t i = 0; i < block_size; ++i)
+        ch[0][i] = static_cast<int64_t>(static_cast<uint64_t>(ch[0][i]) +
+                                        static_cast<uint64_t>(ch[1][i]));
     } else if (ch_asgn == 10) {  // mid/side
       for (uint32_t i = 0; i < block_size; ++i) {
-        int64_t mid = (ch[0][i] << 1) | (ch[1][i] & 1);
-        ch[0][i] = (mid + ch[1][i]) >> 1;
+        int64_t mid = static_cast<int64_t>(
+            (static_cast<uint64_t>(ch[0][i]) << 1) |
+            static_cast<uint64_t>(ch[1][i] & 1));
+        ch[0][i] = static_cast<int64_t>(static_cast<uint64_t>(mid) +
+                                        static_cast<uint64_t>(ch[1][i])) >> 1;
       }
     }
     // left/side (8): channel 0 is already left.

@@ -275,3 +275,68 @@ def test_deterministic_eval_sampling(wav_dir):
     b1, _ = rnd.sample_batch(3)
     b2, _ = rnd.sample_batch(3)
     assert not np.array_equal(b1, b2)
+
+
+def test_wav_huge_fmt_chunk_rejected(tmp_path):
+    """A corrupt WAV whose fmt-chunk size field is enormous must fail
+    cleanly (allocation-capped), not attempt a multi-GiB zero-init."""
+    p = tmp_path / "hugefmt.wav"
+    import struct
+    body = b"RIFF" + struct.pack("<I", 100) + b"WAVE"
+    body += b"fmt " + struct.pack("<I", 0xFFFFFFF0) + b"\x00" * 16
+    p.write_bytes(body)
+    with pytest.raises(Exception):
+        native.read(str(p))
+
+
+def test_wav_absurd_channel_count_rejected(tmp_path):
+    """65535 channels from a corrupt header must be rejected by the NATIVE
+    decoder before the per-frame buffer allocation (the stdlib-wave Python
+    fallback may still accept the file — only the C path allocates
+    frames*channels*bps)."""
+    import ctypes
+    import struct
+    p = tmp_path / "manych.wav"
+    fmt = struct.pack("<HHIIHH", 1, 65535, 48000, 0xFFFFFFFF,
+                      65535 * 2 & 0xFFFF, 16)
+    data = b"\x00" * 64
+    body = (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    p.write_bytes(body)
+    lib = native.load_library()
+    if lib is None:
+        pytest.skip("native library unavailable")
+    out = np.zeros(64, np.float32)
+    sr = ctypes.c_uint32()
+    rc = lib.audioio_read(
+        str(p).encode(), 0, 64,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), sr)
+    assert rc != 0
+
+
+def test_prefetcher_all_unreadable_raises_not_hangs(tmp_path):
+    """A corpus where EVERY file is undecodable must surface as an error
+    from next() within bounded time — not a silent infinite busy-spin."""
+    bad1, bad2 = tmp_path / "a.wav", tmp_path / "b.wav"
+    bad1.write_bytes(b"RIFF\x00\x00\x00\x00JUNK")
+    bad2.write_bytes(b"garbage")
+    if native.load_library() is None:
+        pytest.skip("native library unavailable")
+    pf = native.NativePrefetcher([str(bad1), str(bad2)], 1000,
+                                 n_threads=2, queue_cap=4, seed=0)
+    try:
+        import time
+        t0 = time.time()
+        with pytest.raises(StopIteration):
+            pf.next()
+        assert time.time() - t0 < 30.0
+    finally:
+        pf.close()
+
+
+def test_read_huge_offset_zero_pads(wav_dir):
+    """A past-EOF (or wrapped) offset returns zeros, never wrong samples."""
+    f = str(wav_dir / "a0.wav")
+    seg, sr = native.read(f, offset=2**63, frames=64)
+    assert seg.shape == (64,) and not seg.any()
