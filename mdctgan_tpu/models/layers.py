@@ -11,6 +11,7 @@ Reference blocks: ResnetBlock (networks.py:421-463), ConvResBlock
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Any, Callable, Optional
 
 import flax.linen as nn
@@ -41,8 +42,53 @@ def instance_norm_relu(x: Array) -> Array:
     return instance_norm_fused(x, relu=True)
 
 
+def _reflect_pad_axis(x: Array, pad: int, axis: int) -> Array:
+    """Reflect-pad one axis by concatenating small reversed edge slices.
+
+    ``jnp.pad(mode="reflect")`` lowers through full-tensor ``lax.rev`` ops —
+    a traced step showed two activation-sized reverses (~1.2 ms/step at
+    flagship shapes) plus a 1.9 ms transpose-side ``add`` for its gradient.
+    Building the pad from pad-sized slices keeps the reverses tiny."""
+    lo = jax.lax.rev(jax.lax.slice_in_dim(x, 1, pad + 1, axis=axis), (axis,))
+    n = x.shape[axis]
+    hi = jax.lax.rev(jax.lax.slice_in_dim(x, n - pad - 1, n - 1, axis=axis), (axis,))
+    return jnp.concatenate([lo, x, hi], axis=axis)
+
+
+def _reflect_unpad_axis(g: Array, pad: int, axis: int) -> Array:
+    """Transpose of ``_reflect_pad_axis``: slice the center and scatter-add
+    the (flipped) edge gradients back onto the interior rows they mirror."""
+    n = g.shape[axis] - 2 * pad
+    core = jax.lax.slice_in_dim(g, pad, pad + n, axis=axis)
+    lo = jax.lax.rev(jax.lax.slice_in_dim(g, 0, pad, axis=axis), (axis,))
+    hi = jax.lax.rev(jax.lax.slice_in_dim(g, pad + n, 2 * pad + n, axis=axis), (axis,))
+    pad_cfg = [(0, 0)] * g.ndim
+    pad_cfg[axis] = (1, n - pad - 1)
+    core = core + jnp.pad(lo, pad_cfg)
+    pad_cfg[axis] = (n - pad - 1, 1)
+    return core + jnp.pad(hi, pad_cfg)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _reflect_pad_hw(x: Array, pad: int) -> Array:
+    return _reflect_pad_axis(_reflect_pad_axis(x, pad, 1), pad, 2)
+
+
+def _reflect_pad_hw_fwd(x, pad):
+    return _reflect_pad_hw(x, pad), None
+
+
+def _reflect_pad_hw_bwd(pad, _res, g):
+    return (_reflect_unpad_axis(_reflect_unpad_axis(g, pad, 2), pad, 1),)
+
+
+_reflect_pad_hw.defvjp(_reflect_pad_hw_fwd, _reflect_pad_hw_bwd)
+
+
 def reflect_pad(x: Array, pad: int) -> Array:
-    return jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect")
+    """``nn.ReflectionPad2d(pad)`` on the two spatial axes of an NHWC tensor
+    (torch semantics: the edge sample is not repeated)."""
+    return _reflect_pad_hw(x, pad)
 
 
 def leaky_relu(x: Array, slope: float = 0.2) -> Array:

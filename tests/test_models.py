@@ -26,6 +26,27 @@ def test_instance_norm():
     np.testing.assert_allclose(v, 1, atol=1e-3)
 
 
+@pytest.mark.parametrize("shape,pad", [((2, 8, 9, 3), 3), ((1, 5, 7, 2), 1),
+                                       ((3, 16, 12, 4), 2), ((2, 7, 7, 1), 3)])
+def test_reflect_pad_matches_jnp_pad(shape, pad):
+    # reflect_pad carries a custom VJP (small-slice reverses instead of the
+    # activation-sized lax.rev / scatter-add that jnp.pad(reflect) lowers
+    # to); value AND gradient must stay exactly ReflectionPad2d semantics.
+    from mdctgan_tpu.models.layers import reflect_pad
+
+    def ref(x):
+        return jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect")
+
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(shape), jnp.float32)
+    got, want = reflect_pad(x, pad), ref(x)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want))
+    ct = jnp.asarray(np.random.default_rng(1).standard_normal(want.shape), jnp.float32)
+    g_got = jax.grad(lambda x: jnp.sum(reflect_pad(x, pad) * ct))(x)
+    g_want = jax.grad(lambda x: jnp.sum(ref(x) * ct))(x)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_want), atol=1e-5)
+
+
 def test_avg_pool_matches_torch_semantics():
     # count_include_pad=False: edge windows divide by the #valid taps.
     x = jnp.ones((1, 4, 4, 1))
