@@ -347,6 +347,67 @@ class PolyphaseConv(nn.Module):
         )(x)
 
 
+_DN = ("NHWC", "HWIO", "NHWC")
+
+
+def _dilated_up2_conv_raw(x: Array, kp: Array, p: int) -> Array:
+    return jax.lax.conv_general_dilated(
+        x, kp, (1, 1), padding=((p + 1, p + 1), (p + 1, p + 1)),
+        lhs_dilation=(2, 2), dimension_numbers=_DN,
+    )
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _dilated_up2_conv(x: Array, kp: Array, p: int) -> Array:
+    """``conv(x, kp, lhs_dilation=2, pad=p+1)`` with a hand-written backward.
+
+    XLA's autodiff transpose of an lhs-dilated conv reverses the
+    ACTIVATION-sized cotangent (traced at ~1.6 ms/step across the flagship's
+    upsample sites).  Both gradients are plain convs with at most a
+    KERNEL-sized flip:
+
+      * grad_x: the transpose of "each source pixel feeds outputs 2i+u-q"
+        is a stride-2 conv of the cotangent with the spatially-flipped,
+        I/O-transposed kernel, symmetric padding k-p-1.
+      * grad_k: grad_K[u,v,i,o] = sum_{b,m,n} x[b,m,n,i] ct[b,2m+u-q,2n+v-q,o]
+        — one lhs-dilated conv contracting the batch axis (x as lhs with
+        batch mapped to the feature dim, ct as the "kernel").
+    """
+    return _dilated_up2_conv_raw(x, kp, p)
+
+
+def _dilated_up2_conv_fwd(x, kp, p):
+    return _dilated_up2_conv_raw(x, kp, p), (x, kp)
+
+
+def _dilated_up2_conv_bwd(p, res, ct):
+    import os
+
+    x, kp = res
+    kk = kp.shape[0]  # widened kernel extent k+1
+    q = p + 1
+    pad = kk - 1 - q  # == k - p - 1, symmetric
+    kflip = jnp.transpose(kp[::-1, ::-1], (0, 1, 3, 2))
+    gx = jax.lax.conv_general_dilated(
+        ct, kflip, (2, 2), padding=((pad, pad), (pad, pad)),
+        dimension_numbers=_DN,
+    )
+    if os.environ.get("MDCTGAN_DILATED_VJP", "1") == "gx":
+        # hybrid A/B form: keep XLA's own grad-k transpose (no activation
+        # reversal lives on that path), only grad-x is hand-written
+        _, vjp_k = jax.vjp(lambda kq: _dilated_up2_conv_raw(x, kq, p), kp)
+        (gk,) = vjp_k(ct)
+    else:
+        gk = jax.lax.conv_general_dilated(
+            x, ct, (1, 1), padding=((q, q), (q, q)), lhs_dilation=(2, 2),
+            dimension_numbers=("CHWN", "IHWO", "HWNC"),
+        )
+    return gx.astype(x.dtype), gk.astype(kp.dtype)
+
+
+_dilated_up2_conv.defvjp(_dilated_up2_conv_fwd, _dilated_up2_conv_bwd)
+
+
 def _upsample_phase_geometry(k: int, p: int):
     """Fused-kernel geometry for folding a nearest-2x upsample into a k x k
     (pad p) conv: output phase ``di`` in {0,1}, dense tap ``u`` reads
@@ -424,11 +485,14 @@ class _UpsampledConvInner(nn.Module):
                   + jnp.pad(kernel, ((1, 0), (0, 0), (0, 0), (0, 0))))
             kp = (jnp.pad(kp, ((0, 0), (0, 1), (0, 0), (0, 0)))
                   + jnp.pad(kp, ((0, 0), (1, 0), (0, 0), (0, 0)))).astype(dtype)
-            y = jax.lax.conv_general_dilated(
-                x, kp, (1, 1), padding=((p + 1, p + 1), (p + 1, p + 1)),
-                lhs_dilation=(2, 2),
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            )
+            if os.environ.get("MDCTGAN_DILATED_VJP", "1") in ("1", "gx"):
+                y = _dilated_up2_conv(x, kp, p)
+            else:
+                y = jax.lax.conv_general_dilated(
+                    x, kp, (1, 1), padding=((p + 1, p + 1), (p + 1, p + 1)),
+                    lhs_dilation=(2, 2),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )
             return y + bias.astype(dtype)
         assert method == "phase", f"unknown upsample method {method!r}"
         smin, kk = _upsample_phase_geometry(k, p)

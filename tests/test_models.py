@@ -47,6 +47,34 @@ def test_reflect_pad_matches_jnp_pad(shape, pad):
     np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_want), atol=1e-5)
 
 
+@pytest.mark.parametrize("k,p", [(5, 1), (3, 1), (3, 2)])
+def test_dilated_up_conv_custom_vjp_matches_autodiff(k, p):
+    # The dilated upsample-conv ships a hand-written backward (grad_x as a
+    # plain stride-2 conv with a kernel-sized flip; grad_k as one dilated
+    # conv contracting batch) because XLA's autodiff transpose of an
+    # lhs-dilated conv reverses the activation-sized cotangent.  Value AND
+    # both gradients must match jax.grad of the raw conv exactly.
+    from mdctgan_tpu.models.layers import _dilated_up2_conv, _dilated_up2_conv_raw
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 7, 9, 3)), jnp.float32)
+    kp = jnp.asarray(rng.standard_normal((k + 1, k + 1, 3, 4)) * 0.1, jnp.float32)
+
+    def loss(conv, x, kp):
+        y = conv(x, kp, p)
+        return jnp.sum(jnp.sin(y) * y), y
+
+    (v0, y0), g0 = jax.value_and_grad(
+        lambda x, kp: loss(_dilated_up2_conv_raw, x, kp), argnums=(0, 1),
+        has_aux=True)(x, kp)
+    (v1, y1), g1 = jax.value_and_grad(
+        lambda x, kp: loss(_dilated_up2_conv, x, kp), argnums=(0, 1),
+        has_aux=True)(x, kp)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1))
+    np.testing.assert_allclose(np.asarray(g0[0]), np.asarray(g1[0]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g0[1]), np.asarray(g1[1]), atol=1e-5)
+
+
 def test_avg_pool_matches_torch_semantics():
     # count_include_pad=False: edge windows divide by the #valid taps.
     x = jnp.ones((1, 4, 4, 1))
