@@ -239,11 +239,14 @@ def main() -> None:
         w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
         w.writeheader()
         w.writerows(rows)
-        mean = {
-            k: sum(r[k] for r in rows) / len(rows)
-            for k in rows[0]
-            if k not in ("file", "output")
-        }
+        # NaN-aware MEAN: a single sub-frame clip returns snr_seg=NaN
+        # (ops/metrics.py) and must not blank the column for the corpus
+        from mdctgan_tpu.ops.metrics import nanmean_rows
+
+        mean = nanmean_rows(
+            [{k: v for k, v in r.items() if k not in ("file", "output")}
+             for r in rows]
+        )
         w.writerow({"file": "MEAN", **mean})
     print(f"[batch] {len(rows)}/{len(paths)} files -> {expr_dir}/metrics.csv "
           f"(mean LSD {mean['lsd']:.4f}, mean SNR_SR {mean['snr_sr']:.4f})")

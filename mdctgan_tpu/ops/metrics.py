@@ -116,6 +116,20 @@ def lsd(
     return jnp.mean(jnp.sqrt(jnp.mean((hl - sl) ** 2, axis=-2)))
 
 
+def nanmean_rows(rows) -> Dict[str, float]:
+    """Per-key NaN-aware mean over a list of metric dicts (host side).
+
+    ``snr_seg`` is NaN for clips shorter than one 30 ms frame (see
+    ``snr_seg``); a plain mean would let one degenerate clip blank the whole
+    column in eval.csv / metrics.csv MEAN rows.  All-NaN columns stay NaN."""
+    out: Dict[str, float] = {}
+    for k in rows[0]:
+        vals = np.asarray([r[k] for r in rows], np.float64)
+        finite = vals[~np.isnan(vals)]
+        out[k] = float(finite.mean()) if finite.size else float("nan")
+    return out
+
+
 def compute_metrics(
     hr_audio: Array,
     lr_audio: Array,

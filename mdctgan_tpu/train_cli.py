@@ -297,7 +297,11 @@ def main() -> None:
             host = jax.device_get(m)
             rows.append({k: float(host[k]) for k in m})
         if rows and is_main:  # one eval.csv writer under multihost
-            avg = {k: float(np.mean([r[k] for r in rows])) for k in rows[0]}
+            # NaN-aware: one sub-frame clip's snr_seg NaN must not blank the
+            # whole column for this row (ops/metrics.py nanmean_rows)
+            from mdctgan_tpu.ops.metrics import nanmean_rows
+
+            avg = nanmean_rows(rows)
             want = "step,epoch," + ",".join(avg)
             header = not os.path.exists(eval_csv)
             if not header:

