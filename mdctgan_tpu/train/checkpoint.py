@@ -52,7 +52,15 @@ class CheckpointManager:
     ) -> None:
         """``epoch_label`` marks this save as the end-of-epoch checkpoint for
         that epoch (the reference's ``model.save(epoch)``, train.py:249-254):
-        it becomes addressable via --which_epoch and is kept forever."""
+        it becomes addressable via --which_epoch and is kept forever.
+
+        Saves are ASYNC: this enqueues the write and returns; training
+        continues while orbax serializes in the background (through a
+        tunneled TPU a blocking full-state save stalls the loop for tens of
+        minutes — CLAUDE.md).  The one ordering constraint is here: a new
+        save first drains the previous one.  Reads (restore/resolve/peek)
+        drain too, so a restore-after-save always sees the finished file."""
+        self._mgr.wait_until_finished()
         if epoch_label is not None:
             # in-memory first (should_keep_fn consults it at prune time) ...
             self._epoch_index[int(epoch_label)] = int(state.step)
@@ -75,6 +83,7 @@ class CheckpointManager:
     def resolve_epoch(self, which_epoch: Union[str, int]) -> Optional[int]:
         """--which_epoch -> orbax step: 'latest' -> newest save; an integer
         -> the end-of-epoch checkpoint recorded in epoch_index.json."""
+        self._mgr.wait_until_finished()  # an in-flight save may be "latest"
         if which_epoch in (None, "latest"):
             return self._mgr.latest_step()
         try:
@@ -117,6 +126,7 @@ class CheckpointManager:
         training run used (which depends on --freeze_*/--niter_fix_global
         masking) — a structure mismatch makes orbax refuse the restore.
         Restoring just the requested subtrees sidesteps that entirely."""
+        self._mgr.wait_until_finished()  # drain an in-flight async save
         step = step if step is not None else self._mgr.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoint under {self.directory}")
@@ -141,6 +151,7 @@ class CheckpointManager:
         Uses a throwaway manager: orbax pins an item's handler to the FIRST
         args class used on a manager instance, and mixing this PyTreeRestore
         with the later StandardRestore on ``self._mgr`` would conflict."""
+        self._mgr.wait_until_finished()  # drain an in-flight async save
         step = step if step is not None else self._mgr.latest_step()
         if step is None:
             return None
@@ -167,6 +178,7 @@ class CheckpointManager:
         """Restore (state, epoch, epoch_iter-in-samples); raises if no
         checkpoint.  ``batch_size`` converts legacy cursors (pre-"units"
         checkpoints counted epoch_iter in batches)."""
+        self._mgr.wait_until_finished()  # drain an in-flight async save
         step = step if step is not None else self._mgr.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoint under {self.directory}")
@@ -192,4 +204,5 @@ class CheckpointManager:
         return out["state"], int(cur["epoch"]), it
 
     def close(self) -> None:
+        self._mgr.wait_until_finished()  # in-flight async save must land
         self._mgr.close()
