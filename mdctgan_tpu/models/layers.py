@@ -366,10 +366,13 @@ def _dilated_up2_conv(x: Array, kp: Array, p: int) -> Array:
     upsample sites).  Both gradients are plain convs with at most a
     KERNEL-sized flip:
 
-      * grad_x: the transpose of "each source pixel feeds outputs 2i+u-q"
+    (XLA convs are cross-correlations: out[j] = sum_u in[j+u-q] K[u], so
+    source pixel i reaches output j = 2i+q-u.)
+
+      * grad_x: the transpose of "each source pixel feeds outputs 2i+q-u"
         is a stride-2 conv of the cotangent with the spatially-flipped,
         I/O-transposed kernel, symmetric padding k-p-1.
-      * grad_k: grad_K[u,v,i,o] = sum_{b,m,n} x[b,m,n,i] ct[b,2m+u-q,2n+v-q,o]
+      * grad_k: grad_K[u,v,i,o] = sum_{b,m,n} x[b,m,n,i] ct[b,2m+q-u,2n+q-v,o]
         — one lhs-dilated conv contracting the batch axis (x as lhs with
         batch mapped to the feature dim, ct as the "kernel").
     """

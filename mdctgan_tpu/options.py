@@ -67,6 +67,12 @@ class BaseOptions:
         p.add_argument("--head_phases", type=str, default="",
                        help="tanh-head polyphase fold: '16' (1-D) or '4x8' "
                             "(2-D, the shipped default); empty = auto")
+        p.add_argument("--dilated_vjp", type=str, default="",
+                       choices=["", "1", "gx", "0"],
+                       help="dilated-upsample backward form: '1' = all-custom"
+                            " VJP (shipped default), 'gx' = custom grad-x +"
+                            " autodiff grad-k, '0' = raw autodiff; empty ="
+                            " default")
         p.add_argument("--local_rank", type=int, default=0)
         p.add_argument("--seed", type=int, default=42)
         p.add_argument("--fit_residual", action="store_true", default=False)
@@ -142,6 +148,8 @@ class BaseOptions:
             os.environ["MDCTGAN_UPSAMPLE_METHOD"] = self.opt.upsample_method
         if self.opt.head_phases:
             os.environ["MDCTGAN_HEAD_PHASES"] = self.opt.head_phases
+        if self.opt.dilated_vjp:
+            os.environ["MDCTGAN_DILATED_VJP"] = self.opt.dilated_vjp
 
         str_ids = str(self.opt.gpu_ids).split(",")
         self.opt.gpu_ids = [int(s) for s in str_ids if int(s) >= 0]

@@ -47,14 +47,19 @@ def test_reflect_pad_matches_jnp_pad(shape, pad):
     np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_want), atol=1e-5)
 
 
+@pytest.mark.parametrize("vjp_mode", ["1", "gx"])
 @pytest.mark.parametrize("k,p", [(5, 1), (3, 1), (3, 2)])
-def test_dilated_up_conv_custom_vjp_matches_autodiff(k, p):
+def test_dilated_up_conv_custom_vjp_matches_autodiff(k, p, vjp_mode, monkeypatch):
     # The dilated upsample-conv ships a hand-written backward (grad_x as a
     # plain stride-2 conv with a kernel-sized flip; grad_k as one dilated
     # conv contracting batch) because XLA's autodiff transpose of an
     # lhs-dilated conv reverses the activation-sized cotangent.  Value AND
-    # both gradients must match jax.grad of the raw conv exactly.
+    # both gradients must match jax.grad of the raw conv exactly, for BOTH
+    # backward forms ('1' all-custom, 'gx' hybrid — the --dilated_vjp A/B).
     from mdctgan_tpu.models.layers import _dilated_up2_conv, _dilated_up2_conv_raw
+
+    monkeypatch.setenv("MDCTGAN_DILATED_VJP", vjp_mode)
+    jax.clear_caches()  # the env var is read at trace time inside the bwd
 
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((2, 7, 9, 3)), jnp.float32)
