@@ -132,6 +132,69 @@ def test_train_step_multichip_mesh(rng):
     assert leaf.sharding.is_fully_replicated
 
 
+def test_dp_invariance_1_vs_8_devices(rng):
+    """The actual data-parallel correctness claim (SURVEY §2.3: gradient
+    all-reduce implicit in the batch sharding): the SAME global batch from
+    the SAME initial state on a 1-device mesh and on an 8-device DP mesh
+    must yield the same metrics and the same updated params up to f32
+    reduction-order noise.  The param check runs with SGD(lr=1) so the
+    update delta IS the all-reduced gradient (Adam's first-step g/(|g|+eps)
+    would amplify reduction noise in near-zero-gradient elements by
+    ~lr/eps); Adam metrics equality is asserted separately.  The per-leaf
+    bound scales with the gradient magnitude: on 8 devices each device
+    convolves a batch-1 shard, so XLA picks different conv algorithms /
+    reduction orders than the batch-8 single-device program, giving
+    relative f32 noise (measured ~5e-5 of O(10) gradients), not absolute."""
+    assert len(jax.devices()) >= 8
+    tf, gen, disc, adam_state, adam_step = make_setup()
+    tx = optax.sgd(1.0)
+    state = create_train_state(
+        jax.random.PRNGKey(0), gen, disc, tx, tx,
+        spectro_shape=(32, 32), g_in_channels=2, d_in_channels=3,
+    )
+    step = build_train_step(gen, disc, tf, tx, tx, num_d=2, n_layers_d=2,
+                            donate=False)
+    batch = make_batch(rng, b=8)
+    key = jax.random.PRNGKey(0)
+
+    def run(step_fn, st, n_dev):
+        mesh = make_mesh(n_dev)
+        new_state, metrics = step_fn(
+            replicate(st, mesh), shard_batch(batch, mesh), key
+        )
+        return jax.device_get(new_state), jax.device_get(metrics)
+
+    s1, m1 = run(step, state, 1)
+    s8, m8 = run(step, state, 8)
+    for k in m1:
+        np.testing.assert_allclose(m1[k], m8[k], rtol=5e-5, atol=1e-6,
+                                   err_msg=k)
+    for label, t0, t1, t8 in (
+        ("g_params", state.g_params, s1.g_params, s8.g_params),
+        ("d_params", state.d_params, s1.d_params, s8.d_params),
+        ("batch_stats", state.batch_stats, s1.batch_stats, s8.batch_stats),
+    ):
+        z_l = [np.asarray(x) for x in jax.tree.leaves(t0)]
+        a_l = [np.asarray(x) for x in jax.tree.leaves(t1)]
+        b_l = [np.asarray(x) for x in jax.tree.leaves(t8)]
+        # |delta| = |grad| under SGD(1); noise in one leaf couples to the
+        # whole tree through shared upstream activations, so the relevant
+        # scale is the tree-wide gradient magnitude, not per-leaf.
+        scale = max(1.0, max(float(np.abs(a - z).max())
+                             for a, z in zip(a_l, z_l)))
+        for a, b in zip(a_l, b_l):
+            err = float(np.abs(a - b).max())
+            assert err <= 2e-4 * scale, (
+                f"{label}: max|diff|={err:.3e} vs tree scale {scale:.3e}")
+
+    # the shipped Adam step: losses identical across mesh sizes too
+    _, am1 = run(adam_step, adam_state, 1)
+    _, am8 = run(adam_step, adam_state, 8)
+    for k in am1:
+        np.testing.assert_allclose(am1[k], am8[k], rtol=5e-5, atol=1e-6,
+                                   err_msg=k)
+
+
 def test_train_step_multichip_mesh_fused_pallas(rng):
     """The sharded step with the fused Pallas transforms dispatched via
     shard_map (interpret mode on the CPU mesh) — metrics must match the
