@@ -88,26 +88,81 @@ class Attention2D(nn.Module):
         return out
 
 
+class _BN2D(nn.Module):
+    """The torch ``BatchNorm2d`` twin proper (momentum 0.1, eps 1e-5),
+    hand-rolled so that
+
+      * an optional per-sample ``mask`` restricts batch statistics to the
+        real rows of a padded tail batch (the reference's drop_last=False
+        remainder runs a genuinely smaller batch — pix2pixHD has no padding;
+        masked mean/var reproduce its smaller-batch statistics exactly), and
+      * the running-variance update uses torch's Bessel-corrected (unbiased)
+        estimator — ``flax.linen.BatchNorm`` records the biased batch
+        variance, a small standing deviation from the reference.
+
+    Parameter/stat tree matches ``flax.linen.BatchNorm`` (params scale/bias,
+    batch_stats mean/var) so checkpoints and the .pth importer are
+    unaffected.  Normalization itself uses the biased variance (both
+    frameworks do); statistics accumulate in float32."""
+
+    use_running_average: bool = False
+    momentum: float = 0.9  # flax convention: ra = m*ra + (1-m)*batch
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: Array, mask: Optional[Array] = None) -> Array:
+        def scale_init(key, shape, dtype=jnp.float32):
+            # torch weights_init: BN weight ~ N(1.0, 0.02), bias = 0
+            # (networks.py:17-19 overwrites BotNet's zero-gamma init).
+            return 1.0 + jax.random.normal(key, shape, dtype) * 0.02
+
+        c = x.shape[-1]
+        scale = self.param("scale", scale_init, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda s: jnp.zeros(s, jnp.float32), (c,))
+        ra_var = self.variable(
+            "batch_stats", "var", lambda s: jnp.ones(s, jnp.float32), (c,))
+
+        xf = x.astype(jnp.float32)
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            if mask is None:
+                n = jnp.asarray(
+                    x.shape[0] * x.shape[1] * x.shape[2], jnp.float32)
+                mean = jnp.mean(xf, axis=(0, 1, 2))
+                mean2 = jnp.mean(jnp.square(xf), axis=(0, 1, 2))
+            else:
+                m = mask.astype(jnp.float32).reshape(-1, 1, 1, 1)
+                n = jnp.sum(m) * (x.shape[1] * x.shape[2])
+                mean = jnp.sum(xf * m, axis=(0, 1, 2)) / n
+                mean2 = jnp.sum(jnp.square(xf) * m, axis=(0, 1, 2)) / n
+            var = mean2 - jnp.square(mean)
+            if not self.is_initializing():
+                mom = self.momentum
+                # torch: running_var tracks the UNBIASED variance n/(n-1).
+                bessel = n / jnp.maximum(n - 1.0, 1.0)
+                ra_mean.value = mom * ra_mean.value + (1.0 - mom) * mean
+                ra_var.value = mom * ra_var.value + (1.0 - mom) * (bessel * var)
+        mul = jax.lax.rsqrt(var + self.epsilon) * scale
+        return (xf - mean) * mul + bias
+
+
 class BatchNorm(nn.Module):
     """BatchNorm2d twin (momentum 0.1 torch == 0.9 flax, eps 1e-5) with the
     reference's post-construction N(1, 0.02) weight init (networks.py:17-19 —
-    weights_init overwrites BotNet's zero-gamma init)."""
+    weights_init overwrites BotNet's zero-gamma init).
+
+    ``mask`` (B,) 0/1 — when given in train mode, batch statistics use only
+    the rows where mask==1 (the padded-tail-batch case; see ``_BN2D``)."""
 
     use_running_average: bool = False
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
-        def scale_init(key, shape, dtype=jnp.float32):
-            # torch weights_init: BN weight ~ N(1.0, 0.02), bias = 0.
-            return 1.0 + jax.random.normal(key, shape, dtype) * 0.02
-
-        return nn.BatchNorm(
-            use_running_average=self.use_running_average,
-            momentum=0.9,
-            epsilon=1e-5,
-            scale_init=scale_init,
-            name="bn",
-        )(x)
+    def __call__(self, x: Array, mask: Optional[Array] = None) -> Array:
+        return _BN2D(self.use_running_average, name="bn")(
+            x, None if self.use_running_average else mask)
 
 
 class BottleBlock(nn.Module):
@@ -119,7 +174,8 @@ class BottleBlock(nn.Module):
     dtype: Optional[Any] = None
 
     @nn.compact
-    def __call__(self, x: Array, train: bool = True) -> Array:
+    def __call__(self, x: Array, train: bool = True,
+                 mask: Optional[Array] = None) -> Array:
         shortcut = x
         if x.shape[-1] != self.dim_out:
             # BotNet shortcut for dim change without downsample: 1x1 conv path
@@ -128,24 +184,24 @@ class BottleBlock(nn.Module):
                 self.dim_out, (1, 1), use_bias=False, kernel_init=conv_init(),
                 dtype=self.dtype, name="shortcut_conv",
             )(x)
-            s = BatchNorm(not train, name="shortcut_bn")(s)
+            s = BatchNorm(not train, name="shortcut_bn")(s, mask)
             shortcut = nn.relu(s)
         attn_dim_in = self.dim_out // self.proj_factor
         h = nn.Conv(
             attn_dim_in, (1, 1), use_bias=False, kernel_init=conv_init(),
             dtype=self.dtype, name="proj_in"
         )(x)
-        h = BatchNorm(not train, name="bn1")(h)
+        h = BatchNorm(not train, name="bn1")(h, mask)
         h = nn.relu(h)
         h = Attention2D(self.fmap_size, self.heads, self.dim_head,
                         dtype=self.dtype, name="attn")(h)
-        h = BatchNorm(not train, name="bn2")(h)
+        h = BatchNorm(not train, name="bn2")(h, mask)
         h = nn.relu(h)
         h = nn.Conv(
             self.dim_out, (1, 1), use_bias=False, kernel_init=conv_init(),
             dtype=self.dtype, name="proj_out"
         )(h)
-        h = BatchNorm(not train, name="bn3")(h)
+        h = BatchNorm(not train, name="bn3")(h, mask)
         return nn.relu(h + shortcut)
 
 
@@ -165,7 +221,8 @@ class BottleStack(nn.Module):
     dtype: Optional[Any] = None
 
     @nn.compact
-    def __call__(self, x: Array, train: bool = True) -> Array:
+    def __call__(self, x: Array, train: bool = True,
+                 mask: Optional[Array] = None) -> Array:
         for i in range(self.num_layers):
             x = BottleBlock(
                 self.dim_out,
@@ -175,5 +232,5 @@ class BottleStack(nn.Module):
                 self.dim_head,
                 dtype=self.dtype,
                 name=f"block{i}",
-            )(x, train=train)
+            )(x, train=train, mask=mask)
         return x

@@ -80,7 +80,11 @@ class GlobalGenerator(nn.Module):
     dtype: Optional[Any] = None
 
     @nn.compact
-    def __call__(self, x: Array, train: bool = True) -> Array:
+    def __call__(self, x: Array, train: bool = True,
+                 sample_mask: Optional[Array] = None) -> Array:
+        """``sample_mask`` (B,) 0/1: restricts the attention stack's
+        BatchNorm batch statistics to the real rows of a padded tail batch
+        (train/step.py threads it; every other norm here is per-sample)."""
         ngf = self.ngf
         h = reflect_pad(x, 3)
         h = Conv(ngf, 7, dtype=self.dtype, name="stem")(h)
@@ -107,7 +111,7 @@ class GlobalGenerator(nn.Module):
                     dim_head=self.dim_head,
                     dtype=self.dtype,
                     name="attn",
-                )(h, train=train)
+                )(h, train=train, mask=sample_mask)
             h = ResnetBlock(ngf * mult, dtype=self.dtype, name=f"res{i}")(h)
         if self.n_blocks == 0 and self.n_attn > 0:  # attention-only bottleneck
             h = BottleStack(
@@ -119,7 +123,7 @@ class GlobalGenerator(nn.Module):
                 dim_head=self.dim_head,
                 dtype=self.dtype,
                 name="attn",
-            )(h, train=train)
+            )(h, train=train, mask=sample_mask)
 
         for i in range(self.n_downsampling):
             mult = 2 ** (self.n_downsampling - i)
@@ -162,7 +166,9 @@ class LocalEnhancer(nn.Module):
     dtype: Optional[Any] = None
 
     @nn.compact
-    def __call__(self, x: Array, train: bool = True) -> Array:
+    def __call__(self, x: Array, train: bool = True,
+                 sample_mask: Optional[Array] = None) -> Array:
+        """``sample_mask``: see ``GlobalGenerator.__call__``."""
         n_enh = self.n_local_enhancers
         ngf_g = self.ngf * (2 ** n_enh)
 
@@ -191,7 +197,7 @@ class LocalEnhancer(nn.Module):
             include_head=False,
             dtype=self.dtype,
             name="global",
-        )(levels[-1], train=train)
+        )(levels[-1], train=train, sample_mask=sample_mask)
 
         # --- enhancer branches, coarse to fine ----------------------------
         h = coarse
@@ -206,6 +212,7 @@ class LocalEnhancer(nn.Module):
                 prefix="" if n == n_enh else f"enh{n}_",
                 with_head=(n == n_enh),
                 train=train,
+                sample_mask=sample_mask,
             )
         return h
 
@@ -218,6 +225,7 @@ class LocalEnhancer(nn.Module):
         prefix: str,
         with_head: bool,
         train: bool,
+        sample_mask: Optional[Array] = None,
     ) -> Array:
         """One enhancer branch (networks.py:204-247): downsample stem, add
         the coarser branch's features, refine (+ optional attention
@@ -264,7 +272,7 @@ class LocalEnhancer(nn.Module):
                 dim_head=self.dim_head_l,
                 dtype=self.dtype,
                 name=f"{prefix}local_attn",
-            )(h, train=train)
+            )(h, train=train, mask=sample_mask)
 
         mid = self.n_blocks_local // 2
         for i in range(self.n_blocks_local):

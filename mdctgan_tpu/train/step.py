@@ -48,17 +48,24 @@ def generator_forward(
     lr_spectro_nchw: Array,
     train: bool,
     mutable: bool = False,
+    sample_mask: Optional[Array] = None,
 ):
     """Normalized LR spectro (NCHW) -> SR spectro (NCHW), with the abs input
-    channel and fit_residual skip (pix2pixHD_model.py:394-408)."""
+    channel and fit_residual skip (pix2pixHD_model.py:394-408).
+
+    ``sample_mask`` restricts the attention stack's BatchNorm batch
+    statistics to the real rows of a padded tail batch (the reference's
+    drop_last=False remainder runs a genuinely smaller batch)."""
     cfg = transform.cfg
     g_in = _nchw_to_nhwc(transform.g_input(lr_spectro_nchw))
     if mutable:
         sr, updates = generator.apply(
-            g_vars, g_in, train=train, mutable=["batch_stats"]
+            g_vars, g_in, train=train, sample_mask=sample_mask,
+            mutable=["batch_stats"]
         )
     else:
-        sr = generator.apply(g_vars, g_in, train=train)
+        sr = generator.apply(g_vars, g_in, train=train,
+                             sample_mask=sample_mask)
         updates = None
     sr = _nhwc_to_nchw(sr)
     if cfg.fit_residual:
@@ -109,7 +116,8 @@ def build_train_step(
 
         g_vars = {"params": g_params, "batch_stats": batch_stats}
         sr_spec, updates = generator_forward(
-            generator, transform, g_vars, lr_spec, train=True, mutable=True
+            generator, transform, g_vars, lr_spec, train=True, mutable=True,
+            sample_mask=sample_mask,
         )
 
         d_params_sg = jax.tree.map(jax.lax.stop_gradient, d_params)
@@ -170,10 +178,10 @@ def build_train_step(
         """``sample_mask`` (B,) 0/1 weights the final partial batch per epoch
         (the reference's drop_last=False remainder) without changing the
         compiled batch shape; None (the default) = every sample counts.
-        NB: generator BatchNorm batch statistics still see the full batch —
-        here every row is a real sample from the random stream, so this is
-        full-batch statistics rather than the reference's smaller-batch
-        statistics on its remainder batch (documented in PARITY.md)."""
+        The mask also threads into the generator so the attention stack's
+        BatchNorm batch statistics use only the real rows — matching the
+        reference's smaller remainder batch exactly (every other norm is
+        per-sample)."""
         grad_fn = jax.grad(loss_fn, argnums=(0, 1), has_aux=True)
         (g_grads, d_grads), (metrics, new_stats) = grad_fn(
             state.g_params,

@@ -109,3 +109,92 @@ def test_kbd_window_matches_torch_recipe():
         ref = torch.cat((half, half.flip(0))).numpy()
         np.testing.assert_allclose(np.asarray(kbd_window(n, beta)), ref,
                                    atol=1e-12)
+
+
+def test_batchnorm_train_mode_matches_torch(rng):
+    """The hand-rolled BatchNorm2d twin (models/attention.py _BN2D) vs stock
+    torch in TRAIN mode: normalized output, and the running-stat updates —
+    torch's running_var tracks the UNBIASED batch variance (Bessel n/(n-1)),
+    which flax.linen.BatchNorm gets wrong (biased); the twin must match
+    torch.  Also: eval mode on the updated stats."""
+    from mdctgan_tpu.models.attention import BatchNorm
+
+    b, h, w, c = 4, 5, 6, 3
+    x = rng.standard_normal((b, h, w, c)).astype(np.float32)
+
+    tbn = torch.nn.BatchNorm2d(c, momentum=0.1, eps=1e-5)
+    with torch.no_grad():
+        tbn.weight.copy_(torch.from_numpy(
+            rng.normal(1.0, 0.02, (c,)).astype(np.float32)))
+        tbn.bias.copy_(torch.from_numpy(
+            rng.normal(0.0, 0.1, (c,)).astype(np.float32)))
+        tbn.running_mean.copy_(torch.from_numpy(
+            rng.normal(0, 0.1, (c,)).astype(np.float32)))
+        tbn.running_var.copy_(torch.from_numpy(
+            rng.uniform(0.5, 1.5, (c,)).astype(np.float32)))
+    variables = {
+        "params": {"bn": {
+            "scale": jnp.asarray(tbn.weight.detach().numpy()),
+            "bias": jnp.asarray(tbn.bias.detach().numpy()),
+        }},
+        "batch_stats": {"bn": {
+            # .copy(): torch .numpy() shares memory and the train-mode
+            # forward updates running stats IN PLACE
+            "mean": jnp.asarray(tbn.running_mean.numpy().copy()),
+            "var": jnp.asarray(tbn.running_var.numpy().copy()),
+        }},
+    }
+
+    tbn.train()
+    ref = from_torch_nchw(tbn(to_torch_nchw(x)))
+    ours, updates = BatchNorm(use_running_average=False).apply(
+        variables, jnp.asarray(x), mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(updates["batch_stats"]["bn"]["mean"]),
+        tbn.running_mean.numpy(), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(updates["batch_stats"]["bn"]["var"]),
+        tbn.running_var.numpy(), rtol=1e-5)
+
+    tbn.eval()
+    ref_eval = from_torch_nchw(tbn(to_torch_nchw(x)))
+    updated = dict(variables, batch_stats=updates["batch_stats"])
+    ours_eval = BatchNorm(use_running_average=True).apply(
+        updated, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(ours_eval), ref_eval, atol=1e-5)
+
+
+def test_batchnorm_masked_matches_torch_small_batch(rng):
+    """Masked train-mode BN on a padded batch [1,1,1,0] must equal torch
+    BatchNorm2d run on the 3 real rows — output rows, running_mean, and the
+    Bessel-corrected running_var (the reference's drop_last=False remainder
+    batch IS the smaller batch; custom_dataset_data_loader.py:38-44)."""
+    from mdctgan_tpu.models.attention import BatchNorm
+
+    b, h, w, c = 4, 5, 6, 3
+    x = rng.standard_normal((b, h, w, c)).astype(np.float32)
+
+    tbn = torch.nn.BatchNorm2d(c, momentum=0.1, eps=1e-5)
+    tbn.train()
+    ref = from_torch_nchw(tbn(to_torch_nchw(x[:3])))
+
+    variables = {
+        "params": {"bn": {
+            "scale": jnp.asarray(tbn.weight.detach().numpy()),
+            "bias": jnp.asarray(tbn.bias.detach().numpy()),
+        }},
+        "batch_stats": {"bn": {
+            "mean": jnp.zeros((c,)), "var": jnp.ones((c,)),
+        }},
+    }
+    mask = jnp.asarray([1.0, 1.0, 1.0, 0.0])
+    ours, updates = BatchNorm(use_running_average=False).apply(
+        variables, jnp.asarray(x), mask, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(ours)[:3], ref, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(updates["batch_stats"]["bn"]["mean"]),
+        tbn.running_mean.numpy(), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(updates["batch_stats"]["bn"]["var"]),
+        tbn.running_var.numpy(), rtol=1e-5)

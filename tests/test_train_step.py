@@ -360,6 +360,54 @@ def test_sample_mask_matches_small_batch(rng):
         assert err <= bound, f"ones-mask: ||diff||={err:.3e} > {bound:.3e}"
 
 
+def test_sample_mask_matches_small_batch_with_attention_bn(rng):
+    """Same pad+mask equivalence with the attention stack PRESENT (n_attn=1):
+    the sample_mask threads into the BottleStack's BatchNorm so tail-step
+    batch statistics use only the real rows, matching the reference's
+    genuinely smaller remainder batch.  Gradients AND the updated
+    batch_stats must match the small-batch step."""
+    tf = SpectralTransform(TINY)
+    gen = GlobalGenerator(
+        input_nc=2, output_nc=1, ngf=4, n_downsampling=2, n_blocks=1,
+        n_attn=1, heads=2, dim_head=4, input_size=(32, 32),
+        downsample_type="resconv", upsample_type="interpolate",
+    )
+    disc = MultiscaleDiscriminator(ndf=4, n_layers=2, num_D=2)
+    tx = optax.sgd(1.0)
+    state = create_train_state(
+        jax.random.PRNGKey(0), gen, disc, tx, tx,
+        spectro_shape=(32, 32), g_in_channels=2, d_in_channels=3,
+    )
+    step = build_train_step(gen, disc, tf, tx, tx, num_d=2, n_layers_d=2,
+                            donate=False)
+
+    batch4 = make_batch(rng, b=4)
+    batch3 = {k: v[:3] for k, v in batch4.items()}
+    key = jax.random.PRNGKey(7)
+    mask = jnp.asarray([1.0, 1.0, 1.0, 0.0])
+
+    masked, m_metrics = step(state, batch4, key, sample_mask=mask)
+    small, s_metrics = step(state, batch3, key)
+
+    for name in ("loss_G", "loss_D"):
+        np.testing.assert_allclose(
+            float(m_metrics[name]), float(s_metrics[name]), rtol=1e-4)
+    for label, a_tree, b_tree in (
+        ("G", masked.g_params, small.g_params),
+        ("D", masked.d_params, small.d_params),
+        ("stats", masked.batch_stats, small.batch_stats),
+    ):
+        for a, b in zip(jax.tree.leaves(a_tree), jax.tree.leaves(b_tree)):
+            a, b = np.asarray(a), np.asarray(b)
+            err = float(np.linalg.norm((a - b).ravel()))
+            # floor 2e-4 (vs 5e-5 in the BN-free test): masked-sum/(n) vs
+            # plain-mean statistics reduce in different orders and the
+            # rsqrt(var) amplifies the last-ulp difference; a wiring error
+            # (unmasked stats seeing the pad row) measures O(1e-2) here.
+            bound = 1e-4 * float(np.linalg.norm(b.ravel())) + 2e-4
+            assert err <= bound, f"{label}: ||diff||={err:.3e} > {bound:.3e}"
+
+
 def test_sample_mask_on_mesh(rng):
     """The masked step under the 8-device DP mesh, mask sharded like the
     batch (the --multihost layout): runs, finite, and masking the last 2
