@@ -21,19 +21,51 @@ import numpy as np
 
 from mdctgan_tpu.data import native
 
-AUDIO_EXTS = (".wav", ".mp3", ".flac")
+AUDIO_EXTS = (".wav", ".flac")
+# Audio formats the reference decodes via torchaudio/sox that this framework
+# deliberately does NOT (audio_dataset.py:9,37): no compliant decoder can be
+# validated offline here, so they are rejected UP FRONT with an actionable
+# message instead of dying one-by-one in the corrupt-skip retry loop.
+UNSUPPORTED_AUDIO_EXTS = (
+    ".mp3", ".ogg", ".m4a", ".aac", ".opus", ".wma", ".aiff", ".aif")
+
+
+def unsupported_note(files: List[str]) -> str:
+    """': found N .mp3 (+...) files — not decodable (convert to WAV/FLAC)'
+    when ``files`` contains known-unsupported audio formats, else ''."""
+    counts: dict = {}
+    for f in files:
+        ext = os.path.splitext(f)[1].lower()
+        if ext in UNSUPPORTED_AUDIO_EXTS:
+            counts[ext] = counts.get(ext, 0) + 1
+    if not counts:
+        return ""
+    parts = ", ".join(f"{n} {e}" for e, n in sorted(counts.items()))
+    return (f": found {parts} file(s) — these formats are not decodable "
+            "by this framework (convert to WAV or FLAC)")
 
 
 def list_audio_files(path: str, max_files: Optional[int] = None) -> List[str]:
     """CSV index (one path per cell, relative to the CSV's directory) or
     recursive directory walk (audio_dataset.py:84-100)."""
     if os.path.isdir(path):
-        files = []
+        files, skipped = [], []
         for root, _, names in os.walk(path):
             for name in sorted(names):
-                if os.path.splitext(name)[1].lower() in AUDIO_EXTS:
+                ext = os.path.splitext(name)[1].lower()
+                if ext in AUDIO_EXTS:
                     files.append(os.path.join(root, name))
+                elif ext in UNSUPPORTED_AUDIO_EXTS:
+                    skipped.append(name)
         files.sort()
+        if not files and skipped:
+            raise FileNotFoundError(
+                f"no decodable audio files under {path}"
+                + unsupported_note(skipped))
+        if skipped:
+            print(f"[data] skipping {len(skipped)} unsupported audio "
+                  f"file(s) under {path}{unsupported_note(skipped)}",
+                  flush=True)
     else:
         root = os.path.dirname(path)
         with open(path, "r") as f:
@@ -114,7 +146,9 @@ class AudioDataset:
             except Exception:
                 # skip unreadable files, try the next (audio_dataset.py:56-65)
                 continue
-        raise RuntimeError("no decodable audio files in dataset")
+        raise RuntimeError(
+            "no decodable audio files in dataset"
+            + unsupported_note(self.files))
 
     def sample_batch(self, batch_size: int) -> Tuple[np.ndarray, int]:
         """Stack a batch; all VCTK files share one rate — assert homogeneous."""

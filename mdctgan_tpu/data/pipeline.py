@@ -79,9 +79,11 @@ class InputPipeline:
                 except Exception:
                     continue
             if orig_freq is None:
+                from mdctgan_tpu.data.dataset import unsupported_note
                 raise RuntimeError(
                     f"no decodable audio files in dataset ({len(dataset)} "
-                    "entries, all failed to probe)")
+                    "entries, all failed to probe)"
+                    + unsupported_note(dataset.files))
         self.orig_freq = orig_freq
         self._add_noise, self._snr = add_noise, snr
         # one jitted degrade program per observed sample rate (the reference

@@ -73,6 +73,35 @@ def test_list_audio_files_csv_and_dir(wav_dir):
     assert len(files) == 2 and files[0].endswith("a0.wav")
 
 
+def test_unsupported_formats_rejected_actionably(tmp_path, wav_dir):
+    """MP3 (and friends) are NOT decodable here — the reference decodes them
+    via torchaudio/sox (audio_dataset.py:9,37).  A directory of only mp3s
+    must fail up front naming the format, not enumerate then die file-by-file
+    in the corrupt-skip loop; an explicit CSV entry must surface the same
+    actionable note from the retry-exhausted error."""
+    import pytest
+
+    mp3_dir = tmp_path / "mp3s"
+    mp3_dir.mkdir()
+    for i in range(2):
+        (mp3_dir / f"song{i}.mp3").write_bytes(b"\xff\xfb\x90\x00" + b"x" * 64)
+    with pytest.raises(FileNotFoundError, match=r"2 \.mp3.*WAV or FLAC"):
+        list_audio_files(str(mp3_dir))
+
+    # mixed dir: wavs enumerate, mp3s are skipped (not retried as corrupt)
+    (wav_dir / "extra.mp3").write_bytes(b"\xff\xfb\x90\x00" + b"x" * 64)
+    files = list_audio_files(str(wav_dir))
+    assert not any(f.endswith(".mp3") for f in files)
+
+    # CSV pointing straight at an mp3: the decode-retry exhaustion error
+    # names the unsupported format instead of a bare "no decodable files"
+    csv_path = mp3_dir / "index.csv"
+    csv_path.write_text("song0.mp3\nsong1.mp3\n")
+    ds = AudioDataset(str(csv_path), segment_length=8000, seed=0)
+    with pytest.raises(RuntimeError, match=r"\.mp3.*WAV or FLAC"):
+        ds.sample()
+
+
 def test_dataset_sample(wav_dir):
     ds = AudioDataset(str(wav_dir), segment_length=8000, seed=0)
     seg, sr = ds.sample()
