@@ -200,15 +200,6 @@ def main() -> None:
             g_in_channels=2, d_in_channels=3,
         )
         step = build_train_step(gen, disc, tf_, g_tx, d_tx, donate=False)
-        bsz = 20
-        batch = {
-            "lr_audio": jnp.asarray(
-                0.1 * rng.standard_normal((bsz, cfg.segment_length)), jnp.float32
-            ),
-            "hr_audio": jnp.asarray(
-                0.1 * rng.standard_normal((bsz, cfg.segment_length)), jnp.float32
-            ),
-        }
         key = jax.random.PRNGKey(1)
 
         print(
@@ -217,45 +208,65 @@ def main() -> None:
             f"(auto gate, min_batch {tf_.fused_min_batch})",
             file=sys.stderr,
         )
-        step_ms = train_step_scan_ms(step, state, batch, key)
-        # Ground truth: a jax.profiler device trace of 3 steps.  The scan
-        # number pays state-carry copies the real training loop does not
-        # (~13% at flagship size; docs/PERFORMANCE.md), so the trace's
-        # "Steps" events are the reported per-step time when available.
-        trace_ms = None
-        try:
-            import tempfile
+        # batch 20 = train.sh's shipped batchSize (the contract number);
+        # batch 40 = the tuned-throughput recommendation (+~15%/sample on
+        # v5e, docs/PERFORMANCE.md) — both tracked round-over-round.
+        for bsz in (20, 40):
+            batch = {
+                "lr_audio": jnp.asarray(
+                    0.1 * rng.standard_normal((bsz, cfg.segment_length)),
+                    jnp.float32,
+                ),
+                "hr_audio": jnp.asarray(
+                    0.1 * rng.standard_normal((bsz, cfg.segment_length)),
+                    jnp.float32,
+                ),
+            }
+            step_ms = train_step_scan_ms(step, state, batch, key)
+            # Ground truth: a jax.profiler device trace of 3 steps.  The scan
+            # number pays state-carry copies the real training loop does not
+            # (~13-17% at flagship size; docs/PERFORMANCE.md), so the trace's
+            # XLA-op busy time is the reported per-step time when available.
+            trace_ms = None
+            try:
+                import tempfile
 
-            from mdctgan_tpu.utils.profiling import busy_time_ms, capture_trace
+                from mdctgan_tpu.utils.profiling import (
+                    busy_time_ms,
+                    capture_trace,
+                )
 
-            # donate=False reuses the scan's compiled program and keeps the
-            # profiler's "Steps" line; a donated+chained A/B measured the
-            # same device busy time (79.6 vs 79.7 ms), so nothing is lost
+                # donate=False reuses the scan's compiled program and keeps
+                # the profiler's "Steps" line; a donated+chained A/B measured
+                # the same device busy time (79.6 vs 79.7 ms)
 
-            def run_once():
-                _, mm = step(state, batch, key)
-                float(mm["loss_G"])  # value fetch = true barrier (CLAUDE.md)
+                def run_once():
+                    _, mm = step(state, batch, key)
+                    float(mm["loss_G"])  # value fetch = true barrier
 
-            run_once()  # warm
-            with tempfile.TemporaryDirectory() as td:
-                xp = capture_trace(run_once, td, steps=3)
-                # busy time, not the "Steps" line: Steps events absorb
-                # in-step device idle when the host stalls mid-capture
-                trace_ms = busy_time_ms(xp, steps=3)
-        except Exception as e:
-            print(f"[bench] trace timing unavailable: {e!r}", file=sys.stderr)
-        best_ms = trace_ms if trace_ms else step_ms
-        extra["train_step_busy_ms"] = round(best_ms, 2)
-        extra["train_step_scan_ms"] = round(step_ms, 2)
-        extra["samples_per_s_chip"] = round(20e3 / best_ms, 1)
-        print(
-            f"[bench] flagship G+D train step (batch 20, bf16): "
-            f"{best_ms:.2f} ms = {20e3 / best_ms:.0f} samples/s/chip "
-            f"(device busy time"
-            f"{'' if trace_ms else ' unavailable — scan-chained'}; "
-            f"scan-chained cross-check {step_ms:.2f} ms incl. carry copies)",
-            file=sys.stderr,
-        )
+                run_once()  # warm
+                with tempfile.TemporaryDirectory() as td:
+                    xp = capture_trace(run_once, td, steps=3)
+                    # busy time, not the "Steps" line: Steps events absorb
+                    # in-step device idle when the host stalls mid-capture
+                    trace_ms = busy_time_ms(xp, steps=3)
+            except Exception as e:
+                print(f"[bench] trace timing unavailable: {e!r}",
+                      file=sys.stderr)
+            best_ms = trace_ms if trace_ms else step_ms
+            suffix = "" if bsz == 20 else f"_b{bsz}"
+            extra[f"train_step_busy_ms{suffix}"] = round(best_ms, 2)
+            extra[f"train_step_scan_ms{suffix}"] = round(step_ms, 2)
+            extra[f"samples_per_s_chip{suffix}"] = round(bsz * 1e3 / best_ms, 1)
+            print(
+                f"[bench] flagship G+D train step (batch {bsz}, bf16): "
+                f"{best_ms:.2f} ms = {bsz * 1e3 / best_ms:.0f} samples/s/chip "
+                f"(device busy time"
+                f"{'' if trace_ms else ' unavailable — scan-chained'}; "
+                f"scan-chained cross-check {step_ms:.2f} ms incl. carry "
+                "copies)",
+                file=sys.stderr,
+            )
     except Exception as e:
         print(f"[bench] train-step bench skipped: {e!r}", file=sys.stderr)
 
