@@ -123,6 +123,9 @@ def _torch_reference_step(env, opt_g, opt_d, pool_old=None, pool_mask=None):
     opt_d.zero_grad()
     loss_d.backward()
     opt_d.step()
+    # train-mode SR spectro, for forward-parity checks at the same geometry
+    # (test_flagship_parity.py); pre-step weights since backward ran after.
+    return sr.detach().numpy()
 
 
 def _fused_state_and_step(env, g_tx, d_tx, use_pool=False):
