@@ -21,39 +21,53 @@ import numpy as np
 
 from mdctgan_tpu.data import native
 
-AUDIO_EXTS = (".wav", ".flac")
+AUDIO_EXTS = (".wav", ".flac")  # built-in decoders, always available
+# mp3 decodes through the system libmpg123 when the native layer finds it
+# (native/audioio/mp3.cc) — support is probed at runtime, not assumed.
+_MP3_EXTS = (".mp3",)
 # Audio formats the reference decodes via torchaudio/sox that this framework
-# deliberately does NOT (audio_dataset.py:9,37): no compliant decoder can be
-# validated offline here, so they are rejected UP FRONT with an actionable
+# does NOT (audio_dataset.py:9,37): rejected UP FRONT with an actionable
 # message instead of dying one-by-one in the corrupt-skip retry loop.
+# ``.mp3`` joins this list only when libmpg123 is absent.
 UNSUPPORTED_AUDIO_EXTS = (
-    ".mp3", ".ogg", ".m4a", ".aac", ".opus", ".wma", ".aiff", ".aif")
+    ".ogg", ".m4a", ".aac", ".opus", ".wma", ".aiff", ".aif") + _MP3_EXTS
+
+
+def supported_exts() -> Tuple[str, ...]:
+    """Decodable extensions on THIS host (mp3 iff libmpg123 loaded)."""
+    if native.has_mp3():
+        return AUDIO_EXTS + _MP3_EXTS
+    return AUDIO_EXTS
 
 
 def unsupported_note(files: List[str]) -> str:
-    """': found N .mp3 (+...) files — not decodable (convert to WAV/FLAC)'
+    """': found N .ogg (+...) files — not decodable (convert to WAV/FLAC)'
     when ``files`` contains known-unsupported audio formats, else ''."""
+    supported = supported_exts()
     counts: dict = {}
     for f in files:
         ext = os.path.splitext(f)[1].lower()
-        if ext in UNSUPPORTED_AUDIO_EXTS:
+        if ext in UNSUPPORTED_AUDIO_EXTS and ext not in supported:
             counts[ext] = counts.get(ext, 0) + 1
     if not counts:
         return ""
     parts = ", ".join(f"{n} {e}" for e, n in sorted(counts.items()))
+    hint = (" (convert to WAV or FLAC; .mp3 needs the system libmpg123)"
+            if ".mp3" in counts else " (convert to WAV or FLAC)")
     return (f": found {parts} file(s) — these formats are not decodable "
-            "by this framework (convert to WAV or FLAC)")
+            f"by this framework{hint}")
 
 
 def list_audio_files(path: str, max_files: Optional[int] = None) -> List[str]:
     """CSV index (one path per cell, relative to the CSV's directory) or
     recursive directory walk (audio_dataset.py:84-100)."""
     if os.path.isdir(path):
+        supported = supported_exts()
         files, skipped = [], []
         for root, _, names in os.walk(path):
             for name in sorted(names):
                 ext = os.path.splitext(name)[1].lower()
-                if ext in AUDIO_EXTS:
+                if ext in supported:
                     files.append(os.path.join(root, name))
                 elif ext in UNSUPPORTED_AUDIO_EXTS:
                     skipped.append(name)

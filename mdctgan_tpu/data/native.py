@@ -124,6 +124,23 @@ def _py_read(path: str, offset: int, frames: int) -> Tuple[np.ndarray, int]:
 # Public API
 # --------------------------------------------------------------------------
 
+def has_mp3() -> bool:
+    """True when the native layer can decode mp3 (system libmpg123 found).
+
+    False on the pure-Python fallback and on a stale ``libaudioio.so``
+    built before mp3 support (symbol absent)."""
+    lib = load_library()
+    if lib is None:
+        return False
+    try:
+        fn = lib.audioio_has_mp3
+    except AttributeError:
+        return False
+    fn.restype = ctypes.c_int
+    fn.argtypes = []
+    return bool(fn())
+
+
 def info(path: str) -> Tuple[int, int, int]:
     """(sample_rate, channels, num_frames)."""
     lib = load_library()

@@ -7,11 +7,14 @@
 // C ABI consumed with ctypes (mdctgan_tpu/data/native.py).
 //
 // Supported containers: RIFF/WAVE with PCM 16/24/32-bit and IEEE float32,
-// and FLAC (flac.cc) — the reference's canonical VCTK corpus is FLAC
-// (data/compress_audio.sh).
+// FLAC (flac.cc) — the reference's canonical VCTK corpus is FLAC
+// (data/compress_audio.sh) — and MPEG audio/mp3 via the system libmpg123
+// when present (mp3.cc; the reference's sox_io backend decodes mp3 too,
+// data/audio_dataset.py:9,37).
 
 #include <algorithm>
 #include <atomic>
+#include <cctype>
 #include <chrono>
 #include <cmath>
 #include <condition_variable>
@@ -26,8 +29,20 @@
 #include <vector>
 
 #include "flac.h"
+#include "mp3.h"
 
 namespace {
+
+// mp3 dispatch: by magic (ID3 tag / MPEG frame sync), with a path-suffix
+// fallback for mp3 files carrying leading junk mpg123 would resync past.
+bool is_mp3(const char magic[4], const std::string& path) {
+  if (mp3dec::LooksLikeMp3(reinterpret_cast<const uint8_t*>(magic), 4))
+    return true;
+  if (path.size() < 4) return false;
+  std::string ext = path.substr(path.size() - 4);
+  for (auto& c : ext) c = static_cast<char>(std::tolower(c));
+  return ext == ".mp3";
+}
 
 bool read_all_bytes(std::FILE* f, std::vector<uint8_t>* buf) {
   if (std::fseek(f, 0, SEEK_END) != 0) return false;
@@ -231,24 +246,33 @@ class Prefetcher {
         seg.data.assign(segment_frames_, 0.0f);
         std::FILE* f = std::fopen(files_[idx].c_str(), "rb");
         if (f) {  // else: skip unreadable files (audio_dataset.py:56-65)
+          // random segment from a whole-file mono decode (FLAC and mp3
+          // have no cheap frame-accurate random access, unlike WAV)
+          auto take_segment = [&](const std::vector<float>& mono,
+                                  uint32_t rate) {
+            uint64_t n = mono.size();
+            uint64_t max_start = n > segment_frames_ ? n - segment_frames_ : 0;
+            uint64_t off = max_start
+                ? std::uniform_int_distribution<uint64_t>(0, max_start)(rng)
+                : 0;
+            uint64_t copy =
+                n > off ? std::min<uint64_t>(n - off, segment_frames_) : 0;
+            std::memcpy(seg.data.data(), mono.data() + off,
+                        copy * sizeof(float));
+            seg.sample_rate = rate;
+          };
           char magic[4];
-          if (file_magic(f, magic) && std::memcmp(magic, "fLaC", 4) == 0) {
+          bool have_magic = file_magic(f, magic);
+          if (have_magic && std::memcmp(magic, "fLaC", 4) == 0) {
             flacdec::Info finfo;
             std::vector<float> mono;
             ok = decode_flac_file(f, &finfo, &mono);
-            if (ok) {
-              uint64_t n = mono.size();
-              uint64_t max_start =
-                  n > segment_frames_ ? n - segment_frames_ : 0;
-              uint64_t off = max_start
-                  ? std::uniform_int_distribution<uint64_t>(0, max_start)(rng)
-                  : 0;
-              uint64_t copy =
-                  n > off ? std::min<uint64_t>(n - off, segment_frames_) : 0;
-              std::memcpy(seg.data.data(), mono.data() + off,
-                          copy * sizeof(float));
-              seg.sample_rate = finfo.sample_rate;
-            }
+            if (ok) take_segment(mono, finfo.sample_rate);
+          } else if (have_magic && is_mp3(magic, files_[idx])) {
+            mp3dec::Info minfo;
+            std::vector<float> mono;
+            ok = mp3dec::DecodeMonoFile(files_[idx].c_str(), &minfo, &mono);
+            if (ok) take_segment(mono, minfo.sample_rate);
           } else {
             WavInfo info;
             ok = read_wav_header(f, &info);
@@ -306,6 +330,11 @@ class Prefetcher {
 
 extern "C" {
 
+// 1 when mp3 decode is available (system libmpg123 loaded), else 0.  The
+// Python side uses this to decide whether .mp3 counts as a supported
+// extension for corpus enumeration.
+int audioio_has_mp3() { return mp3dec::Available() ? 1 : 0; }
+
 // Probe: returns 0 on success and fills (sample_rate, channels, num_frames).
 int audioio_info(const char* path, uint32_t* sample_rate, uint32_t* channels,
                  uint64_t* num_frames) try {
@@ -328,6 +357,15 @@ int audioio_info(const char* path, uint32_t* sample_rate, uint32_t* channels,
     }
     std::fclose(f);
     if (!ok) return -2;
+    *sample_rate = info.sample_rate;
+    *channels = info.channels;
+    *num_frames = info.num_frames;
+    return 0;
+  }
+  if (is_mp3(magic, path)) {
+    std::fclose(f);
+    mp3dec::Info info;
+    if (!mp3dec::ProbeFile(path, &info)) return -2;
     *sample_rate = info.sample_rate;
     *channels = info.channels;
     *num_frames = info.num_frames;
@@ -361,6 +399,17 @@ int audioio_read(const char* path, uint64_t offset, uint64_t frames,
     for (uint64_t i = 0; i < frames; ++i)
       // offset >= n first: a huge/wrapped offset must zero-pad, not let
       // offset + i wrap back under n and read the wrong samples
+      out[i] = (offset < n && i < n - offset) ? mono[offset + i] : 0.0f;
+    *sample_rate = info.sample_rate;
+    return 0;
+  }
+  if (is_mp3(magic, path)) {
+    std::fclose(f);
+    mp3dec::Info info;
+    std::vector<float> mono;
+    if (!mp3dec::DecodeMonoFile(path, &info, &mono)) return -2;
+    uint64_t n = mono.size();
+    for (uint64_t i = 0; i < frames; ++i)
       out[i] = (offset < n && i < n - offset) ? mono[offset + i] : 0.0f;
     *sample_rate = info.sample_rate;
     return 0;

@@ -73,14 +73,17 @@ def test_list_audio_files_csv_and_dir(wav_dir):
     assert len(files) == 2 and files[0].endswith("a0.wav")
 
 
-def test_unsupported_formats_rejected_actionably(tmp_path, wav_dir):
-    """MP3 (and friends) are NOT decodable here — the reference decodes them
-    via torchaudio/sox (audio_dataset.py:9,37).  A directory of only mp3s
-    must fail up front naming the format, not enumerate then die file-by-file
-    in the corrupt-skip loop; an explicit CSV entry must surface the same
-    actionable note from the retry-exhausted error."""
+def test_unsupported_formats_rejected_actionably(tmp_path, wav_dir,
+                                                 monkeypatch):
+    """On a host WITHOUT libmpg123 (simulated here — the decodable case is
+    tests/test_mp3.py), mp3 joins the not-decodable formats the reference
+    handles via torchaudio/sox (audio_dataset.py:9,37).  A directory of only
+    mp3s must fail up front naming the format, not enumerate then die
+    file-by-file in the corrupt-skip loop; an explicit CSV entry must surface
+    the same actionable note from the retry-exhausted error."""
     import pytest
 
+    monkeypatch.setattr(native, "has_mp3", lambda: False)
     mp3_dir = tmp_path / "mp3s"
     mp3_dir.mkdir()
     for i in range(2):
