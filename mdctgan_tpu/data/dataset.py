@@ -21,23 +21,33 @@ import numpy as np
 
 from mdctgan_tpu.data import native
 
-AUDIO_EXTS = (".wav", ".flac")  # built-in decoders, always available
-# mp3 decodes through the system libmpg123 when the native layer finds it
-# (native/audioio/mp3.cc) — support is probed at runtime, not assumed.
-_MP3_EXTS = (".mp3",)
+# built-in decoders, always available (AIFF is big-endian PCM, decoded
+# natively like WAV — native/audioio/audioio.cc read_aiff_header)
+AUDIO_EXTS = (".wav", ".flac", ".aiff", ".aif")
+# mp3 and ogg/vorbis decode through system libraries when the native layer
+# finds them (native/audioio/{mp3,vorbis}.cc) — support is probed at
+# runtime, not assumed: (extensions, probe attribute on ``native`` — looked
+# up lazily so tests can monkeypatch it, library name for the error hint).
+_OPTIONAL_DECODERS = (
+    ((".mp3",), "has_mp3", "libmpg123"),
+    ((".ogg",), "has_vorbis", "libvorbisfile"),
+)
 # Audio formats the reference decodes via torchaudio/sox that this framework
 # does NOT (audio_dataset.py:9,37): rejected UP FRONT with an actionable
 # message instead of dying one-by-one in the corrupt-skip retry loop.
-# ``.mp3`` joins this list only when libmpg123 is absent.
+# mp3/ogg join this list only when their system library is absent.
 UNSUPPORTED_AUDIO_EXTS = (
-    ".ogg", ".m4a", ".aac", ".opus", ".wma", ".aiff", ".aif") + _MP3_EXTS
+    ".mp3", ".ogg", ".m4a", ".aac", ".opus", ".wma")
 
 
 def supported_exts() -> Tuple[str, ...]:
-    """Decodable extensions on THIS host (mp3 iff libmpg123 loaded)."""
-    if native.has_mp3():
-        return AUDIO_EXTS + _MP3_EXTS
-    return AUDIO_EXTS
+    """Decodable extensions on THIS host (mp3/ogg iff their system
+    decoder library loaded)."""
+    exts = AUDIO_EXTS
+    for opt_exts, probe, _ in _OPTIONAL_DECODERS:
+        if getattr(native, probe)():
+            exts = exts + opt_exts
+    return exts
 
 
 def unsupported_note(files: List[str]) -> str:
@@ -52,8 +62,11 @@ def unsupported_note(files: List[str]) -> str:
     if not counts:
         return ""
     parts = ", ".join(f"{n} {e}" for e, n in sorted(counts.items()))
-    hint = (" (convert to WAV or FLAC; .mp3 needs the system libmpg123)"
-            if ".mp3" in counts else " (convert to WAV or FLAC)")
+    hint = " (convert to WAV or FLAC"
+    for opt_exts, _, lib in _OPTIONAL_DECODERS:
+        if any(e in counts for e in opt_exts):
+            hint += f"; {'/'.join(opt_exts)} needs the system {lib}"
+    hint += ")"
     return (f": found {parts} file(s) — these formats are not decodable "
             f"by this framework{hint}")
 

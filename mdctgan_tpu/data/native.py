@@ -124,21 +124,32 @@ def _py_read(path: str, offset: int, frames: int) -> Tuple[np.ndarray, int]:
 # Public API
 # --------------------------------------------------------------------------
 
-def has_mp3() -> bool:
-    """True when the native layer can decode mp3 (system libmpg123 found).
+def _has_capability(symbol: str) -> bool:
+    """Query an optional-decoder capability flag exported by the native lib.
 
     False on the pure-Python fallback and on a stale ``libaudioio.so``
-    built before mp3 support (symbol absent)."""
+    built before the capability existed (symbol absent)."""
     lib = load_library()
     if lib is None:
         return False
     try:
-        fn = lib.audioio_has_mp3
+        fn = getattr(lib, symbol)
     except AttributeError:
         return False
     fn.restype = ctypes.c_int
     fn.argtypes = []
     return bool(fn())
+
+
+def has_mp3() -> bool:
+    """True when the native layer can decode mp3 (system libmpg123 found)."""
+    return _has_capability("audioio_has_mp3")
+
+
+def has_vorbis() -> bool:
+    """True when the native layer can decode Ogg/Vorbis (system
+    libvorbisfile found)."""
+    return _has_capability("audioio_has_vorbis")
 
 
 def info(path: str) -> Tuple[int, int, int]:

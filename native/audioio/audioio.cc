@@ -9,8 +9,10 @@
 // Supported containers: RIFF/WAVE with PCM 16/24/32-bit and IEEE float32,
 // FLAC (flac.cc) — the reference's canonical VCTK corpus is FLAC
 // (data/compress_audio.sh) — and MPEG audio/mp3 via the system libmpg123
-// when present (mp3.cc; the reference's sox_io backend decodes mp3 too,
-// data/audio_dataset.py:9,37).
+// when present (mp3.cc), Ogg/Vorbis via the system libvorbisfile when
+// present (vorbis.cc), and AIFF/AIFF-C big-endian PCM (built in, below) —
+// all formats the reference's sox_io backend decodes
+// (data/audio_dataset.py:9,37).
 
 #include <algorithm>
 #include <atomic>
@@ -30,6 +32,7 @@
 
 #include "flac.h"
 #include "mp3.h"
+#include "vorbis.h"
 
 namespace {
 
@@ -175,6 +178,159 @@ bool decode_frames(std::FILE* f, const WavInfo& info, uint64_t offset,
 }
 
 // ------------------------------------------------------------------------
+// AIFF / AIFF-C: big-endian PCM in an IFF container (the remaining
+// UNCOMPRESSED format the reference's sox backend reads,
+// data/audio_dataset.py:9,37).  Random access is frame-exact like WAV.
+// Supported: AIFF PCM 8/16/24/32, AIFC "NONE"/"twos" (big-endian PCM),
+// "sowt" (little-endian 16-bit, the Mac/QuickTime variant), "fl32"/"FL32"
+// (big-endian float32).
+// ------------------------------------------------------------------------
+
+uint16_t be16(const uint8_t* p) {
+  return static_cast<uint16_t>((p[0] << 8) | p[1]);
+}
+uint32_t be32(const uint8_t* p) {
+  return (static_cast<uint32_t>(p[0]) << 24) |
+         (static_cast<uint32_t>(p[1]) << 16) |
+         (static_cast<uint32_t>(p[2]) << 8) | p[3];
+}
+
+// COMM's sample rate is an 80-bit IEEE 754 extended-precision float:
+// sign(1) | exponent(15, bias 16383) | mantissa(64, explicit integer bit).
+double read_extended80(const uint8_t p[10]) {
+  const int sign = (p[0] & 0x80) ? -1 : 1;
+  const int exp = ((p[0] & 0x7F) << 8) | p[1];
+  uint64_t mant = 0;
+  for (int i = 2; i < 10; ++i) mant = (mant << 8) | p[i];
+  if (exp == 0 && mant == 0) return 0.0;
+  if (exp == 0x7FFF) return 0.0;  // inf/nan: treat as invalid
+  return sign * std::ldexp(static_cast<double>(mant), exp - 16383 - 63);
+}
+
+struct AiffInfo {
+  uint32_t sample_rate = 0;
+  uint16_t channels = 0;
+  uint16_t bits_per_sample = 0;
+  bool little_endian = false;  // AIFC "sowt"
+  bool is_float = false;       // AIFC "fl32"/"FL32"
+  uint64_t num_frames = 0;
+  uint64_t data_offset = 0;
+};
+
+bool read_aiff_header(std::FILE* f, AiffInfo* info) {
+  uint8_t hdr[12];
+  if (std::fread(hdr, 1, 12, f) != 12) return false;
+  if (std::memcmp(hdr, "FORM", 4) != 0) return false;
+  const bool aifc = std::memcmp(hdr + 8, "AIFC", 4) == 0;
+  if (!aifc && std::memcmp(hdr + 8, "AIFF", 4) != 0) return false;
+  bool have_comm = false;
+  while (true) {
+    uint8_t ch[8];
+    if (std::fread(ch, 1, 8, f) != 8) return false;
+    const uint32_t size = be32(ch + 4);
+    if (std::memcmp(ch, "COMM", 4) == 0) {
+      // COMM is 18 bytes (AIFC: +4CC compression type + pstring name); a
+      // corrupt size must not drive a huge allocation (WAV fmt idiom).
+      if (size < 18 || size > (1u << 20)) return false;
+      std::vector<uint8_t> buf(size);
+      if (std::fread(buf.data(), 1, size, f) != size) return false;
+      if (size & 1) {
+        if (std::fseek(f, 1, SEEK_CUR) != 0) return false;
+      }
+      info->channels = be16(&buf[0]);
+      info->num_frames = be32(&buf[2]);
+      info->bits_per_sample = be16(&buf[6]);
+      const double rate = read_extended80(&buf[8]);
+      if (rate <= 0 || rate > 4e9) return false;
+      info->sample_rate = static_cast<uint32_t>(rate + 0.5);
+      if (aifc) {
+        if (size < 22) return false;
+        const uint8_t* comp = &buf[18];
+        if (std::memcmp(comp, "NONE", 4) == 0 ||
+            std::memcmp(comp, "twos", 4) == 0) {
+          // big-endian PCM (the default)
+        } else if (std::memcmp(comp, "sowt", 4) == 0) {
+          info->little_endian = true;
+        } else if (std::memcmp(comp, "fl32", 4) == 0 ||
+                   std::memcmp(comp, "FL32", 4) == 0) {
+          info->is_float = true;
+        } else {
+          return false;  // compressed AIFC (ulaw/ima4/...) not supported
+        }
+      }
+      have_comm = true;
+    } else if (std::memcmp(ch, "SSND", 4) == 0) {
+      if (!have_comm || info->channels == 0 || info->channels > 256 ||
+          info->bits_per_sample == 0 || info->bits_per_sample % 8 != 0)
+        return false;
+      if (info->is_float && info->bits_per_sample != 32) return false;
+      if (info->little_endian && info->bits_per_sample != 16) return false;
+      uint8_t ss[8];
+      if (size < 8 || std::fread(ss, 1, 8, f) != 8) return false;
+      const uint32_t pad = be32(ss);  // offset into the sound data
+      const uint32_t frame_bytes =
+          info->channels * info->bits_per_sample / 8;
+      if (pad > size - 8) return false;
+      info->data_offset = static_cast<uint64_t>(std::ftell(f)) + pad;
+      // COMM's frame count is authoritative but must not outrun the chunk
+      const uint64_t chunk_frames = (size - 8 - pad) / frame_bytes;
+      info->num_frames = std::min<uint64_t>(info->num_frames, chunk_frames);
+      return true;
+    } else {
+      if (std::fseek(f, static_cast<long>(size + (size & 1)), SEEK_CUR) != 0)
+        return false;
+    }
+  }
+}
+
+// Decode `frames` frames at `offset` into mono float32 (channel 0).
+bool decode_aiff_frames(std::FILE* f, const AiffInfo& info, uint64_t offset,
+                        uint64_t frames, float* out) {
+  const uint32_t bps = info.bits_per_sample / 8;
+  const uint32_t frame_bytes = bps * info.channels;
+  if (offset >= info.num_frames) {
+    std::fill(out, out + frames, 0.0f);
+    return true;
+  }
+  if (std::fseek(f, static_cast<long>(info.data_offset + offset * frame_bytes),
+                 SEEK_SET) != 0)
+    return false;
+  const uint64_t avail = info.num_frames - offset;
+  std::vector<uint8_t> buf(std::min<uint64_t>(frames, avail) * frame_bytes);
+  size_t got = std::fread(buf.data(), 1, buf.size(), f);
+  uint64_t got_frames = got / frame_bytes;
+  for (uint64_t i = 0; i < frames; ++i) {
+    if (i >= got_frames) {
+      out[i] = 0.0f;
+      continue;
+    }
+    const uint8_t* p = &buf[i * frame_bytes];  // channel 0
+    if (info.is_float) {
+      const uint32_t bits = be32(p);
+      float v;
+      std::memcpy(&v, &bits, 4);
+      out[i] = v;
+    } else if (info.bits_per_sample == 16) {
+      const int16_t v = info.little_endian
+                            ? static_cast<int16_t>(p[0] | (p[1] << 8))
+                            : static_cast<int16_t>((p[0] << 8) | p[1]);
+      out[i] = static_cast<float>(v) / 32768.0f;
+    } else if (info.bits_per_sample == 24) {
+      int32_t v = (p[0] << 24) | (p[1] << 16) | (p[2] << 8);
+      out[i] = static_cast<float>(v >> 8) / 8388608.0f;
+    } else if (info.bits_per_sample == 32) {
+      out[i] = static_cast<float>(static_cast<int32_t>(be32(p))) /
+               2147483648.0f;
+    } else if (info.bits_per_sample == 8) {
+      out[i] = static_cast<float>(static_cast<int8_t>(p[0])) / 128.0f;
+    } else {
+      return false;
+    }
+  }
+  return true;
+}
+
+// ------------------------------------------------------------------------
 // Prefetching segment loader: worker threads draw (file, offset) samples and
 // fill a bounded queue of decoded segments.
 // ------------------------------------------------------------------------
@@ -268,11 +424,32 @@ class Prefetcher {
             std::vector<float> mono;
             ok = decode_flac_file(f, &finfo, &mono);
             if (ok) take_segment(mono, finfo.sample_rate);
+          } else if (have_magic &&
+                     vorbisdec::LooksLikeOgg(
+                         reinterpret_cast<const uint8_t*>(magic), 4)) {
+            vorbisdec::Info vinfo;
+            std::vector<float> mono;
+            ok = vorbisdec::DecodeMonoFile(files_[idx].c_str(), &vinfo, &mono);
+            if (ok) take_segment(mono, vinfo.sample_rate);
           } else if (have_magic && is_mp3(magic, files_[idx])) {
             mp3dec::Info minfo;
             std::vector<float> mono;
             ok = mp3dec::DecodeMonoFile(files_[idx].c_str(), &minfo, &mono);
             if (ok) take_segment(mono, minfo.sample_rate);
+          } else if (have_magic && std::memcmp(magic, "FORM", 4) == 0) {
+            AiffInfo ainfo;
+            ok = read_aiff_header(f, &ainfo);
+            if (ok) {
+              uint64_t max_start = ainfo.num_frames > segment_frames_
+                                       ? ainfo.num_frames - segment_frames_
+                                       : 0;
+              uint64_t off = max_start
+                  ? std::uniform_int_distribution<uint64_t>(0, max_start)(rng)
+                  : 0;
+              ok = decode_aiff_frames(f, ainfo, off, segment_frames_,
+                                      seg.data.data());
+              seg.sample_rate = ainfo.sample_rate;
+            }
           } else {
             WavInfo info;
             ok = read_wav_header(f, &info);
@@ -335,6 +512,9 @@ extern "C" {
 // extension for corpus enumeration.
 int audioio_has_mp3() { return mp3dec::Available() ? 1 : 0; }
 
+// 1 when Ogg/Vorbis decode is available (system libvorbisfile loaded).
+int audioio_has_vorbis() { return vorbisdec::Available() ? 1 : 0; }
+
 // Probe: returns 0 on success and fills (sample_rate, channels, num_frames).
 int audioio_info(const char* path, uint32_t* sample_rate, uint32_t* channels,
                  uint64_t* num_frames) try {
@@ -355,6 +535,25 @@ int audioio_info(const char* path, uint32_t* sample_rate, uint32_t* channels,
       if (std::fseek(f, 0, SEEK_SET) == 0 && read_all_bytes(f, &bytes))
         ok = flacdec::Probe(bytes.data(), bytes.size(), &info);
     }
+    std::fclose(f);
+    if (!ok) return -2;
+    *sample_rate = info.sample_rate;
+    *channels = info.channels;
+    *num_frames = info.num_frames;
+    return 0;
+  }
+  if (vorbisdec::LooksLikeOgg(reinterpret_cast<const uint8_t*>(magic), 4)) {
+    std::fclose(f);
+    vorbisdec::Info info;
+    if (!vorbisdec::ProbeFile(path, &info)) return -2;
+    *sample_rate = info.sample_rate;
+    *channels = info.channels;
+    *num_frames = info.num_frames;
+    return 0;
+  }
+  if (std::memcmp(magic, "FORM", 4) == 0) {
+    AiffInfo info;
+    bool ok = read_aiff_header(f, &info);
     std::fclose(f);
     if (!ok) return -2;
     *sample_rate = info.sample_rate;
@@ -400,6 +599,26 @@ int audioio_read(const char* path, uint64_t offset, uint64_t frames,
       // offset >= n first: a huge/wrapped offset must zero-pad, not let
       // offset + i wrap back under n and read the wrong samples
       out[i] = (offset < n && i < n - offset) ? mono[offset + i] : 0.0f;
+    *sample_rate = info.sample_rate;
+    return 0;
+  }
+  if (vorbisdec::LooksLikeOgg(reinterpret_cast<const uint8_t*>(magic), 4)) {
+    std::fclose(f);
+    vorbisdec::Info info;
+    std::vector<float> mono;
+    if (!vorbisdec::DecodeMonoFile(path, &info, &mono)) return -2;
+    uint64_t n = mono.size();
+    for (uint64_t i = 0; i < frames; ++i)
+      out[i] = (offset < n && i < n - offset) ? mono[offset + i] : 0.0f;
+    *sample_rate = info.sample_rate;
+    return 0;
+  }
+  if (std::memcmp(magic, "FORM", 4) == 0) {
+    AiffInfo info;
+    bool ok = read_aiff_header(f, &info);
+    if (ok) ok = decode_aiff_frames(f, info, offset, frames, out);
+    std::fclose(f);
+    if (!ok) return -2;
     *sample_rate = info.sample_rate;
     return 0;
   }
