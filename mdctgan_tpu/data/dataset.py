@@ -31,13 +31,14 @@ AUDIO_EXTS = (".wav", ".flac", ".aiff", ".aif")
 _OPTIONAL_DECODERS = (
     ((".mp3",), "has_mp3", "libmpg123"),
     ((".ogg",), "has_vorbis", "libvorbisfile"),
+    ((".opus",), "has_opus", "libopus+libogg"),
 )
 # Audio formats the reference decodes via torchaudio/sox that this framework
 # does NOT (audio_dataset.py:9,37): rejected UP FRONT with an actionable
 # message instead of dying one-by-one in the corrupt-skip retry loop.
 # mp3/ogg join this list only when their system library is absent.
 UNSUPPORTED_AUDIO_EXTS = (
-    ".mp3", ".ogg", ".m4a", ".aac", ".opus", ".wma")
+    ".mp3", ".ogg", ".opus", ".m4a", ".aac", ".wma")
 
 
 def supported_exts() -> Tuple[str, ...]:

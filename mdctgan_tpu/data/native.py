@@ -152,6 +152,12 @@ def has_vorbis() -> bool:
     return _has_capability("audioio_has_vorbis")
 
 
+def has_opus() -> bool:
+    """True when the native layer can decode Ogg/Opus (system libopus +
+    libogg found)."""
+    return _has_capability("audioio_has_opus")
+
+
 def info(path: str) -> Tuple[int, int, int]:
     """(sample_rate, channels, num_frames)."""
     lib = load_library()

@@ -10,9 +10,9 @@
 // FLAC (flac.cc) — the reference's canonical VCTK corpus is FLAC
 // (data/compress_audio.sh) — and MPEG audio/mp3 via the system libmpg123
 // when present (mp3.cc), Ogg/Vorbis via the system libvorbisfile when
-// present (vorbis.cc), and AIFF/AIFF-C big-endian PCM (built in, below) —
-// all formats the reference's sox_io backend decodes
-// (data/audio_dataset.py:9,37).
+// present (vorbis.cc), Ogg/Opus via the system libopus+libogg when present
+// (opus.cc), and AIFF/AIFF-C big-endian PCM (built in, below) — all formats
+// the reference's sox_io backend decodes (data/audio_dataset.py:9,37).
 
 #include <algorithm>
 #include <atomic>
@@ -32,6 +32,7 @@
 
 #include "flac.h"
 #include "mp3.h"
+#include "opus.h"
 #include "vorbis.h"
 
 namespace {
@@ -430,7 +431,13 @@ class Prefetcher {
             vorbisdec::Info vinfo;
             std::vector<float> mono;
             ok = vorbisdec::DecodeMonoFile(files_[idx].c_str(), &vinfo, &mono);
-            if (ok) take_segment(mono, vinfo.sample_rate);
+            if (ok) {
+              take_segment(mono, vinfo.sample_rate);
+            } else {
+              opusdec::Info oinfo;
+              ok = opusdec::DecodeMonoFile(files_[idx].c_str(), &oinfo, &mono);
+              if (ok) take_segment(mono, oinfo.sample_rate);
+            }
           } else if (have_magic && is_mp3(magic, files_[idx])) {
             mp3dec::Info minfo;
             std::vector<float> mono;
@@ -515,6 +522,9 @@ int audioio_has_mp3() { return mp3dec::Available() ? 1 : 0; }
 // 1 when Ogg/Vorbis decode is available (system libvorbisfile loaded).
 int audioio_has_vorbis() { return vorbisdec::Available() ? 1 : 0; }
 
+// 1 when Ogg/Opus decode is available (system libopus + libogg loaded).
+int audioio_has_opus() { return opusdec::Available() ? 1 : 0; }
+
 // Probe: returns 0 on success and fills (sample_rate, channels, num_frames).
 int audioio_info(const char* path, uint32_t* sample_rate, uint32_t* channels,
                  uint64_t* num_frames) try {
@@ -544,11 +554,20 @@ int audioio_info(const char* path, uint32_t* sample_rate, uint32_t* channels,
   }
   if (vorbisdec::LooksLikeOgg(reinterpret_cast<const uint8_t*>(magic), 4)) {
     std::fclose(f);
+    // an Ogg container holds vorbis or opus: vorbis first (ov_fopen
+    // rejects non-vorbis streams cheaply), opus as the fallback
     vorbisdec::Info info;
-    if (!vorbisdec::ProbeFile(path, &info)) return -2;
-    *sample_rate = info.sample_rate;
-    *channels = info.channels;
-    *num_frames = info.num_frames;
+    if (vorbisdec::ProbeFile(path, &info)) {
+      *sample_rate = info.sample_rate;
+      *channels = info.channels;
+      *num_frames = info.num_frames;
+      return 0;
+    }
+    opusdec::Info oinfo;
+    if (!opusdec::ProbeFile(path, &oinfo)) return -2;
+    *sample_rate = oinfo.sample_rate;
+    *channels = oinfo.channels;
+    *num_frames = oinfo.num_frames;
     return 0;
   }
   if (std::memcmp(magic, "FORM", 4) == 0) {
@@ -606,11 +625,18 @@ int audioio_read(const char* path, uint64_t offset, uint64_t frames,
     std::fclose(f);
     vorbisdec::Info info;
     std::vector<float> mono;
-    if (!vorbisdec::DecodeMonoFile(path, &info, &mono)) return -2;
+    uint32_t rate = 0;
+    if (vorbisdec::DecodeMonoFile(path, &info, &mono)) {
+      rate = info.sample_rate;
+    } else {
+      opusdec::Info oinfo;
+      if (!opusdec::DecodeMonoFile(path, &oinfo, &mono)) return -2;
+      rate = oinfo.sample_rate;
+    }
     uint64_t n = mono.size();
     for (uint64_t i = 0; i < frames; ++i)
       out[i] = (offset < n && i < n - offset) ? mono[offset + i] : 0.0f;
-    *sample_rate = info.sample_rate;
+    *sample_rate = rate;
     return 0;
   }
   if (std::memcmp(magic, "FORM", 4) == 0) {
