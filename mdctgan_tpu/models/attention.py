@@ -128,17 +128,21 @@ class _BN2D(nn.Module):
         if self.use_running_average:
             mean, var = ra_mean.value, ra_var.value
         else:
+            # Two-pass variance E[(x-mean)^2], not E[x^2]-mean^2: the
+            # one-pass form loses ~3 extra decimal digits to cancellation
+            # in f32 and its gradient is noisier still — measured 6x the
+            # torch-vs-f64 error on the attention stack's tensors at
+            # flagship geometry (tools/flagship_grad_truth.py).
             if mask is None:
                 n = jnp.asarray(
                     x.shape[0] * x.shape[1] * x.shape[2], jnp.float32)
                 mean = jnp.mean(xf, axis=(0, 1, 2))
-                mean2 = jnp.mean(jnp.square(xf), axis=(0, 1, 2))
+                var = jnp.mean(jnp.square(xf - mean), axis=(0, 1, 2))
             else:
                 m = mask.astype(jnp.float32).reshape(-1, 1, 1, 1)
                 n = jnp.sum(m) * (x.shape[1] * x.shape[2])
                 mean = jnp.sum(xf * m, axis=(0, 1, 2)) / n
-                mean2 = jnp.sum(jnp.square(xf) * m, axis=(0, 1, 2)) / n
-            var = mean2 - jnp.square(mean)
+                var = jnp.sum(jnp.square(xf - mean) * m, axis=(0, 1, 2)) / n
             if not self.is_initializing():
                 mom = self.momentum
                 # torch: running_var tracks the UNBIASED variance n/(n-1).

@@ -159,21 +159,24 @@ def _leaves(tree):
     return [("/".join(str(k) for k in path), np.asarray(v)) for path, v in flat]
 
 
-def _assert_tree_close_normwise(ref_tree, got_tree, rel, label):
+def _assert_tree_close_normwise(ref_tree, got_tree, rel, label,
+                                floor=5e-5):
     """Per-tensor: ||got - ref||_2 <= rel * ||ref||_2 + floor.
 
     The absolute floor covers tensors whose true gradient is EXACTLY zero
-    mathematically (a conv bias immediately followed by train-mode BN: the
-    mean subtraction kills any constant shift), so both frameworks hold
-    only f32 accumulation noise there (~1e-5).  Wiring errors
-    (leaked/zeroed/detach-misplaced grads) are O(1)–O(10) here, 5 orders
-    above the floor.
+    mathematically (a conv bias immediately followed by a train-mode mean-
+    subtracting norm — instance or batch — kills any constant shift), so
+    both frameworks hold only f32 accumulation noise there.  The dust
+    scales with the reduction size: ~1e-5 at this file's reduced geometry
+    (default floor), ~2e-4 measured at flagship 128x256/batch-8 (the
+    flagship test passes a bigger floor).  Wiring errors (leaked/zeroed/
+    detach-misplaced grads) are O(1)–O(10) here, 4-5 orders above either.
     """
     ref_l, got_l = _leaves(ref_tree), _leaves(got_tree)
     assert [k for k, _ in ref_l] == [k for k, _ in got_l]
     for (name, r), (_, g) in zip(ref_l, got_l):
         err = float(np.linalg.norm((g - r).ravel()))
-        bound = rel * float(np.linalg.norm(r.ravel())) + 5e-5
+        bound = rel * float(np.linalg.norm(r.ravel())) + floor
         assert err <= bound, (
             f"{label} {name}: ||diff||={err:.3e} > {bound:.3e} "
             f"(||ref||={np.linalg.norm(r.ravel()):.3e})")
