@@ -55,22 +55,30 @@ def device_time_scan(
 
     lo, hi = make(n_lo), make(n_hi)
 
-    def run(f):
-        float(f(x, consts))  # compile + warm (fetch forces completion)
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            # NB: fetch the scalar, don't block_until_ready — through the
-            # remote tunnel block_until_ready can return before the work
-            # ran (measured 0.09 ms for a seconds-long scan); only a value
-            # transfer is a true barrier.  The scalar fetch RTT is constant
-            # and cancels in the lo/hi difference.
-            float(f(x, consts))
-            best = min(best, time.perf_counter() - t0)
-        return best
+    def timed(f, xr):
+        t0 = time.perf_counter()
+        # NB: fetch the scalar, don't block_until_ready — through the
+        # remote tunnel block_until_ready can return before the work
+        # ran (measured 0.09 ms for a seconds-long scan); only a value
+        # transfer is a true barrier.  The scalar fetch RTT is constant
+        # and cancels in the lo/hi difference.
+        float(f(xr, consts))
+        return time.perf_counter() - t0
 
-    t_lo, t_hi = run(lo), run(hi)
-    return max(t_hi - t_lo, 1e-9) / (n_hi - n_lo) * 1e3  # ms/iter
+    # compile + warm (fetch forces completion)
+    float(lo(x, consts)), float(hi(x, consts))
+    diffs = []
+    for r in range(reps):
+        # Two noise defenses, both tunnel-taught (docs/PERFORMANCE.md
+        # "Measurement methodology"): every rep gets a DISTINCT input —
+        # byte-identical repeat calls can be deduped/served-from-cache by
+        # the tunnel runtime — and lo/hi run back-to-back per rep with the
+        # MEDIAN of paired differences reported, so a bursty host (the
+        # wall clock lives host-side) shifts both ends of a pair together
+        # instead of corrupting independent min() estimates.
+        xr = x + jnp.asarray(r + 1, x.dtype) * jnp.asarray(1e-6, x.dtype)
+        diffs.append(timed(hi, xr) - timed(lo, xr))
+    return max(float(np.median(diffs)), 1e-9) / (n_hi - n_lo) * 1e3  # ms/iter
 
 
 def train_step_scan_ms(step_fn, state, batch, key,
@@ -107,9 +115,15 @@ def train_step_scan_ms(step_fn, state, batch, key,
     def run(f):
         float(f(state, batch, key))  # compile + warm (fetch = true barrier)
         best = float("inf")
-        for _ in range(reps):
+        for r in range(reps):
+            # distinct key per rep: byte-identical repeat calls can be
+            # deduped by the tunnel runtime (measured at batch 40: 88.98 ms
+            # with identical reps vs a stable 121.6/124.5 ms min/median with
+            # per-rep keys, against a 108.3 ms trace busy time — the scan's
+            # +13% carry-copy overhead only shows up once reps are unique)
+            k = jax.random.fold_in(key, r)
             t0 = time.perf_counter()
-            float(f(state, batch, key))  # see device_time_scan: fetch, not block
+            float(f(state, batch, k))  # see device_time_scan: fetch, not block
             best = min(best, time.perf_counter() - t0)
         return best
 
@@ -286,9 +300,13 @@ def main() -> None:
         )
         infer = build_inference_fn(gen, tf_, out_length=cfg.segment_length)
         lr = jnp.asarray(0.1 * rng.standard_normal((1, cfg.segment_length)), jnp.float32)
+        # n_hi=202: a 26-iter pair carries only ~40 ms of signal and one
+        # noisy rep once halved this reading to 0.81 ms; 202 iters = ~320 ms
+        # of signal, and long-scan cross-checks (2,402)/(402,802) both read
+        # 1.55 ms/iter, agreeing with this pair at quiet-host conditions.
         inf_ms = device_time_scan(
             lambda a, v: infer(v, a)[1][..., : cfg.segment_length],
-            lr, consts=g_vars, n_lo=2, n_hi=26, reps=4,
+            lr, consts=g_vars, n_lo=2, n_hi=202, reps=4,
         )
         rtf = (inf_ms / 1e3) / (cfg.segment_length / cfg.hr_sampling_rate)
         extra["inference_ms_per_segment"] = round(inf_ms, 2)
