@@ -32,11 +32,12 @@ _OPTIONAL_DECODERS = (
     ((".mp3",), "has_mp3", "libmpg123"),
     ((".ogg",), "has_vorbis", "libvorbisfile"),
     ((".opus",), "has_opus", "libopus+libogg"),
+    ((".m4a", ".aac", ".wma"), "has_ffmpeg", "ffmpeg 5.x libraries"),
 )
 # Audio formats the reference decodes via torchaudio/sox that this framework
 # does NOT (audio_dataset.py:9,37): rejected UP FRONT with an actionable
 # message instead of dying one-by-one in the corrupt-skip retry loop.
-# mp3/ogg join this list only when their system library is absent.
+# each joins this list only when its system library is absent.
 UNSUPPORTED_AUDIO_EXTS = (
     ".mp3", ".ogg", ".opus", ".m4a", ".aac", ".wma")
 

@@ -158,6 +158,12 @@ def has_opus() -> bool:
     return _has_capability("audioio_has_opus")
 
 
+def has_ffmpeg() -> bool:
+    """True when the native layer can decode m4a/aac/wma (system ffmpeg
+    5.x libraries found)."""
+    return _has_capability("audioio_has_ffmpeg")
+
+
 def info(path: str) -> Tuple[int, int, int]:
     """(sample_rate, channels, num_frames)."""
     lib = load_library()

@@ -11,8 +11,9 @@
 // (data/compress_audio.sh) — and MPEG audio/mp3 via the system libmpg123
 // when present (mp3.cc), Ogg/Vorbis via the system libvorbisfile when
 // present (vorbis.cc), Ogg/Opus via the system libopus+libogg when present
-// (opus.cc), and AIFF/AIFF-C big-endian PCM (built in, below) — all formats
-// the reference's sox_io backend decodes (data/audio_dataset.py:9,37).
+// (opus.cc), AIFF/AIFF-C big-endian PCM (built in, below), and m4a/aac/wma
+// via the system ffmpeg libraries when present (ffdec.cc) — the full format
+// surface the reference's sox_io backend decodes (data/audio_dataset.py:9,37).
 
 #include <algorithm>
 #include <atomic>
@@ -30,6 +31,7 @@
 #include <thread>
 #include <vector>
 
+#include "ffdec.h"
 #include "flac.h"
 #include "mp3.h"
 #include "opus.h"
@@ -39,7 +41,7 @@ namespace {
 
 // mp3 dispatch: by magic (ID3 tag / MPEG frame sync), with a path-suffix
 // fallback for mp3 files carrying leading junk mpg123 would resync past.
-bool is_mp3(const char magic[4], const std::string& path) {
+bool is_mp3(const char magic[8], const std::string& path) {
   if (mp3dec::LooksLikeMp3(reinterpret_cast<const uint8_t*>(magic), 4))
     return true;
   if (path.size() < 4) return false;
@@ -56,8 +58,9 @@ bool read_all_bytes(std::FILE* f, std::vector<uint8_t>* buf) {
   return std::fread(buf->data(), 1, buf->size(), f) == buf->size();
 }
 
-bool file_magic(std::FILE* f, char magic[4]) {
-  if (std::fread(magic, 1, 4, f) != 4) return false;
+// 8 bytes: enough for every sniff here (MP4's "ftyp" sits at bytes 4-7).
+bool file_magic(std::FILE* f, char magic[8]) {
+  if (std::fread(magic, 1, 8, f) != 8) return false;
   return std::fseek(f, 0, SEEK_SET) == 0;
 }
 
@@ -418,7 +421,7 @@ class Prefetcher {
                         copy * sizeof(float));
             seg.sample_rate = rate;
           };
-          char magic[4];
+          char magic[8];
           bool have_magic = file_magic(f, magic);
           if (have_magic && std::memcmp(magic, "fLaC", 4) == 0) {
             flacdec::Info finfo;
@@ -457,6 +460,14 @@ class Prefetcher {
                                       seg.data.data());
               seg.sample_rate = ainfo.sample_rate;
             }
+          } else if (have_magic &&
+                     ffdec::LooksLikeFfmpegFormat(
+                         reinterpret_cast<const uint8_t*>(magic), 8,
+                         files_[idx].c_str())) {
+            ffdec::Info finfo2;
+            std::vector<float> mono;
+            ok = ffdec::DecodeMonoFile(files_[idx].c_str(), &finfo2, &mono);
+            if (ok) take_segment(mono, finfo2.sample_rate);
           } else {
             WavInfo info;
             ok = read_wav_header(f, &info);
@@ -525,12 +536,15 @@ int audioio_has_vorbis() { return vorbisdec::Available() ? 1 : 0; }
 // 1 when Ogg/Opus decode is available (system libopus + libogg loaded).
 int audioio_has_opus() { return opusdec::Available() ? 1 : 0; }
 
+// 1 when m4a/aac/wma decode is available (system ffmpeg 5.x loaded).
+int audioio_has_ffmpeg() { return ffdec::Available() ? 1 : 0; }
+
 // Probe: returns 0 on success and fills (sample_rate, channels, num_frames).
 int audioio_info(const char* path, uint32_t* sample_rate, uint32_t* channels,
                  uint64_t* num_frames) try {
   std::FILE* f = std::fopen(path, "rb");
   if (!f) return -1;
-  char magic[4];
+  char magic[8];
   if (file_magic(f, magic) && std::memcmp(magic, "fLaC", 4) == 0) {
     // Probe needs only the metadata blocks (STREAMINFO is first and
     // mandatory): try a bounded prefix so probing a corpus costs O(files),
@@ -589,6 +603,16 @@ int audioio_info(const char* path, uint32_t* sample_rate, uint32_t* channels,
     *num_frames = info.num_frames;
     return 0;
   }
+  if (ffdec::LooksLikeFfmpegFormat(
+          reinterpret_cast<const uint8_t*>(magic), 8, path)) {
+    std::fclose(f);
+    ffdec::Info finfo;
+    if (!ffdec::ProbeFile(path, &finfo)) return -2;
+    *sample_rate = finfo.sample_rate;
+    *channels = finfo.channels;
+    *num_frames = finfo.num_frames;
+    return 0;
+  }
   WavInfo info;
   bool ok = read_wav_header(f, &info);
   std::fclose(f);
@@ -606,7 +630,7 @@ int audioio_read(const char* path, uint64_t offset, uint64_t frames,
                  float* out, uint32_t* sample_rate) try {
   std::FILE* f = std::fopen(path, "rb");
   if (!f) return -1;
-  char magic[4];
+  char magic[8];
   if (file_magic(f, magic) && std::memcmp(magic, "fLaC", 4) == 0) {
     flacdec::Info info;
     std::vector<float> mono;
@@ -657,6 +681,18 @@ int audioio_read(const char* path, uint64_t offset, uint64_t frames,
     for (uint64_t i = 0; i < frames; ++i)
       out[i] = (offset < n && i < n - offset) ? mono[offset + i] : 0.0f;
     *sample_rate = info.sample_rate;
+    return 0;
+  }
+  if (ffdec::LooksLikeFfmpegFormat(
+          reinterpret_cast<const uint8_t*>(magic), 8, path)) {
+    std::fclose(f);
+    ffdec::Info finfo;
+    std::vector<float> mono;
+    if (!ffdec::DecodeMonoFile(path, &finfo, &mono)) return -2;
+    uint64_t n = mono.size();
+    for (uint64_t i = 0; i < frames; ++i)
+      out[i] = (offset < n && i < n - offset) ? mono[offset + i] : 0.0f;
+    *sample_rate = finfo.sample_rate;
     return 0;
   }
   WavInfo info;
