@@ -28,8 +28,22 @@ def _try_build() -> None:
             ["make", "-s"], cwd=os.path.abspath(_LIB_DIR), check=True,
             capture_output=True, timeout=120,
         )
+    except subprocess.CalledProcessError as e:
+        # A failed native build silently degrades the whole decode layer to
+        # the pure-Python WAV fallback (dropping FLAC — the canonical VCTK
+        # format).  Surface the compiler's complaint instead of hiding it.
+        import warnings
+
+        tail = (e.stderr or b"").decode("utf-8", "replace").strip().splitlines()
+        warnings.warn(
+            "native audioio build failed — falling back to pure-Python "
+            "WAV-only decode (no FLAC/mp3/ogg/opus/m4a). Compiler said: "
+            + " | ".join(tail[-4:]),
+            RuntimeWarning,
+            stacklevel=2,
+        )
     except Exception:
-        pass
+        pass  # no `make` at all: the WAV fallback is the intended path
 
 
 def load_library(build_if_missing: bool = True) -> Optional[ctypes.CDLL]:

@@ -544,7 +544,10 @@ int audioio_info(const char* path, uint32_t* sample_rate, uint32_t* channels,
                  uint64_t* num_frames) try {
   std::FILE* f = std::fopen(path, "rb");
   if (!f) return -1;
-  char magic[8];
+  // Zero-init: when file_magic() fails (file < 8 bytes / seek error) the
+  // later sniff branches still read `magic`; zeros match no format, so
+  // dispatch falls through to the WAV header read which fails cleanly.
+  char magic[8] = {0};
   if (file_magic(f, magic) && std::memcmp(magic, "fLaC", 4) == 0) {
     // Probe needs only the metadata blocks (STREAMINFO is first and
     // mandatory): try a bounded prefix so probing a corpus costs O(files),
@@ -630,7 +633,7 @@ int audioio_read(const char* path, uint64_t offset, uint64_t frames,
                  float* out, uint32_t* sample_rate) try {
   std::FILE* f = std::fopen(path, "rb");
   if (!f) return -1;
-  char magic[8];
+  char magic[8] = {0};  // see audioio_info: failed sniff must not read garbage
   if (file_magic(f, magic) && std::memcmp(magic, "fLaC", 4) == 0) {
     flacdec::Info info;
     std::vector<float> mono;

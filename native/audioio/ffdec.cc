@@ -11,6 +11,52 @@
 #include <mutex>
 #include <string>
 
+namespace ffdec {
+namespace {
+
+bool has_suffix(const char* path, const char* ext) {
+  std::string p(path);
+  if (p.size() < std::strlen(ext)) return false;
+  std::string tail = p.substr(p.size() - std::strlen(ext));
+  for (auto& c : tail) c = static_cast<char>(std::tolower(c));
+  return tail == ext;
+}
+
+}  // namespace
+
+// Pure byte/suffix sniff — no ffmpeg dependency, compiled unconditionally
+// so format *detection* (and the named-lib rejection message it feeds,
+// mdctgan_tpu/data/native.py) works even on hosts built without headers.
+bool LooksLikeFfmpegFormat(const uint8_t* p, size_t n, const char* path) {
+  if (n >= 8 && std::memcmp(p + 4, "ftyp", 4) == 0) return true;  // MP4/M4A
+  if (n >= 4 && p[0] == 0x30 && p[1] == 0x26 && p[2] == 0xB2 && p[3] == 0x75)
+    return true;  // ASF (wma)
+  // raw ADTS AAC: 12-bit sync + layer 00 (MPEG-audio mp3 has layer != 0,
+  // so the two sniffs are disjoint)
+  if (n >= 2 && p[0] == 0xFF && (p[1] & 0xF6) == 0xF0) return true;
+  return has_suffix(path, ".m4a") || has_suffix(path, ".mp4") ||
+         has_suffix(path, ".aac") || has_suffix(path, ".wma");
+}
+
+}  // namespace ffdec
+
+// All ffmpeg FUNCTIONS are dlsym'd, so the only build-time dependency is
+// the TYPES from the dev headers.  On a host without them, compile a stub
+// whose Available() is false instead of failing the whole libaudioio build
+// (which would silently degrade the native layer to WAV-only, dropping
+// FLAC — the canonical VCTK format).
+// (-DMDCTGAN_FFDEC_FORCE_STUB makes the headerless branch compile-testable
+// on hosts that DO have the headers.)
+#if !defined(MDCTGAN_FFDEC_FORCE_STUB) && defined(__has_include)
+#if __has_include(<libavcodec/avcodec.h>) && \
+    __has_include(<libavformat/avformat.h>) && \
+    __has_include(<libavutil/avutil.h>)
+#define MDCTGAN_FFDEC_HAVE_HEADERS 1
+#endif
+#endif
+
+#ifdef MDCTGAN_FFDEC_HAVE_HEADERS
+
 extern "C" {
 #include <libavcodec/avcodec.h>
 #include <libavformat/avformat.h>
@@ -195,6 +241,14 @@ bool decode_impl(const char* path, Info* info, std::vector<float>* mono) {
         if (!rate && fr->sample_rate > 0) {
           rate = static_cast<uint32_t>(fr->sample_rate);
           channels = static_cast<uint32_t>(fr->ch_layout.nb_channels);
+        } else if (rate &&
+                   (static_cast<uint32_t>(fr->sample_rate) != rate ||
+                    static_cast<uint32_t>(fr->ch_layout.nb_channels) !=
+                        channels)) {
+          // mid-stream rate/channel flip: appending these samples under the
+          // first frame's rate would yield silently wrong-speed audio —
+          // treat as undecodable, like the mp3 NEW_FORMAT path.
+          decode_err = true;
         }
         if (!append_channel0(fr, mono)) decode_err = true;
         m.frame_unref(fr);
@@ -224,28 +278,9 @@ bool decode_impl(const char* path, Info* info, std::vector<float>* mono) {
   return ok;
 }
 
-bool has_suffix(const char* path, const char* ext) {
-  std::string p(path);
-  if (p.size() < std::strlen(ext)) return false;
-  std::string tail = p.substr(p.size() - std::strlen(ext));
-  for (auto& c : tail) c = static_cast<char>(std::tolower(c));
-  return tail == ext;
-}
-
 }  // namespace
 
 bool Available() { return api().ok; }
-
-bool LooksLikeFfmpegFormat(const uint8_t* p, size_t n, const char* path) {
-  if (n >= 8 && std::memcmp(p + 4, "ftyp", 4) == 0) return true;  // MP4/M4A
-  if (n >= 4 && p[0] == 0x30 && p[1] == 0x26 && p[2] == 0xB2 && p[3] == 0x75)
-    return true;  // ASF (wma)
-  // raw ADTS AAC: 12-bit sync + layer 00 (MPEG-audio mp3 has layer != 0,
-  // so the two sniffs are disjoint)
-  if (n >= 2 && p[0] == 0xFF && (p[1] & 0xF6) == 0xF0) return true;
-  return has_suffix(path, ".m4a") || has_suffix(path, ".mp4") ||
-         has_suffix(path, ".aac") || has_suffix(path, ".wma");
-}
 
 bool ProbeFile(const char* path, Info* info) {
   std::vector<float> mono;
@@ -257,3 +292,17 @@ bool DecodeMonoFile(const char* path, Info* info, std::vector<float>* mono) {
 }
 
 }  // namespace ffdec
+
+#else  // !MDCTGAN_FFDEC_HAVE_HEADERS
+
+namespace ffdec {
+
+bool Available() { return false; }
+
+bool ProbeFile(const char*, Info*) { return false; }
+
+bool DecodeMonoFile(const char*, Info*, std::vector<float>*) { return false; }
+
+}  // namespace ffdec
+
+#endif  // MDCTGAN_FFDEC_HAVE_HEADERS

@@ -117,6 +117,7 @@ bool DecodeMonoFile(const char* path, Info* info, std::vector<float>* mono) {
   const Api& m = api();
   mono->clear();
   int bitstream = 0;
+  int first_link = -1;
   while (true) {
     float** pcm = nullptr;  // per-channel (NOT interleaved) buffers
     long got = m.read_float(h.get(), &pcm, 4096, &bitstream);
@@ -127,6 +128,20 @@ bool DecodeMonoFile(const char* path, Info* info, std::vector<float>* mono) {
       // negatives are real errors.
       if (got == -3) continue;
       return false;
+    }
+    if (first_link < 0) {
+      first_link = bitstream;
+    } else if (bitstream != first_link) {
+      // chained Ogg: a later link may carry a different rate/channel
+      // count — appending its samples under the first link's rate would
+      // be silently wrong-speed audio.  Accept the new link only if its
+      // format matches; otherwise undecodable (like the mp3 NEW_FORMAT
+      // path).
+      const VorbisInfoHead* vi = m.info(h.get(), bitstream);
+      if (!vi || static_cast<uint32_t>(vi->rate) != h.rate() ||
+          static_cast<uint32_t>(vi->channels) != h.channels())
+        return false;
+      first_link = bitstream;
     }
     if (!pcm || !pcm[0]) return false;
     mono->insert(mono->end(), pcm[0], pcm[0] + got);  // channel 0
