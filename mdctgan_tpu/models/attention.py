@@ -27,6 +27,7 @@ BatchNorm uses running stats (torch momentum 0.1 == flax momentum 0.9).
 
 from __future__ import annotations
 
+import os
 from typing import Any, Optional, Tuple
 
 import flax.linen as nn
@@ -34,6 +35,7 @@ import jax
 import jax.numpy as jnp
 
 from mdctgan_tpu.models.layers import conv_init
+from mdctgan_tpu.ops.norm import batch_norm2d_train
 
 Array = jax.Array
 
@@ -127,12 +129,30 @@ class _BN2D(nn.Module):
         xf = x.astype(jnp.float32)
         if self.use_running_average:
             mean, var = ra_mean.value, ra_var.value
+            mul = jax.lax.rsqrt(var + self.epsilon) * scale
+            return (xf - mean) * mul + bias
+
+        # Two-pass variance E[(x-mean)^2], not E[x^2]-mean^2: the
+        # one-pass form loses ~3 extra decimal digits to cancellation
+        # in f32 and its gradient is noisier still — measured 6x the
+        # torch-vs-f64 error on the attention stack's tensors at
+        # flagship geometry (tools/flagship_grad_truth.py).
+        if self.epsilon == 1e-5 and os.environ.get("MDCTGAN_BN_VJP", "1") == "1":
+            # (the fused op hard-codes eps 1e-5 — torch's default and the
+            # only value this module is ever built with)
+            # closed-form custom backward: one fused reduction pass + one
+            # elementwise pass instead of XLA autodiff's ~4 passes over
+            # (x, g) per norm (ops/norm.py batch_norm2d_train; same move
+            # as the instance-norm backward).  MDCTGAN_BN_VJP=0 restores
+            # plain autodiff for A/B (tools/ab_bn_vjp.py).
+            y, mean, var = batch_norm2d_train(xf, scale, bias, mask)
+            if mask is None:
+                n = jnp.asarray(
+                    x.shape[0] * x.shape[1] * x.shape[2], jnp.float32)
+            else:
+                n = jnp.sum(mask.astype(jnp.float32)) * (
+                    x.shape[1] * x.shape[2])
         else:
-            # Two-pass variance E[(x-mean)^2], not E[x^2]-mean^2: the
-            # one-pass form loses ~3 extra decimal digits to cancellation
-            # in f32 and its gradient is noisier still — measured 6x the
-            # torch-vs-f64 error on the attention stack's tensors at
-            # flagship geometry (tools/flagship_grad_truth.py).
             if mask is None:
                 n = jnp.asarray(
                     x.shape[0] * x.shape[1] * x.shape[2], jnp.float32)
@@ -143,12 +163,15 @@ class _BN2D(nn.Module):
                 n = jnp.sum(m) * (x.shape[1] * x.shape[2])
                 mean = jnp.sum(xf * m, axis=(0, 1, 2)) / n
                 var = jnp.sum(jnp.square(xf - mean) * m, axis=(0, 1, 2)) / n
-            if not self.is_initializing():
-                mom = self.momentum
-                # torch: running_var tracks the UNBIASED variance n/(n-1).
-                bessel = n / jnp.maximum(n - 1.0, 1.0)
-                ra_mean.value = mom * ra_mean.value + (1.0 - mom) * mean
-                ra_var.value = mom * ra_var.value + (1.0 - mom) * (bessel * var)
+            y = None
+        if not self.is_initializing():
+            mom = self.momentum
+            # torch: running_var tracks the UNBIASED variance n/(n-1).
+            bessel = n / jnp.maximum(n - 1.0, 1.0)
+            ra_mean.value = mom * ra_mean.value + (1.0 - mom) * mean
+            ra_var.value = mom * ra_var.value + (1.0 - mom) * (bessel * var)
+        if y is not None:
+            return y
         mul = jax.lax.rsqrt(var + self.epsilon) * scale
         return (xf - mean) * mul + bias
 

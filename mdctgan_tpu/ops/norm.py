@@ -22,6 +22,8 @@ generator IN: 2.43 ms -> HBM-bound; step busy time 81.2 -> 79.7 ms).
 
 from __future__ import annotations
 
+from typing import Optional, Tuple
+
 import jax
 import jax.numpy as jnp
 
@@ -83,3 +85,118 @@ _fused_relu = _make(relu=True)
 def instance_norm_fused(x: Array, relu: bool = False) -> Array:
     """relu(instance_norm(x)) (or plain IN) with the closed-form backward."""
     return _fused_relu(x) if relu else _fused_plain(x)
+
+
+# ---------------------------------------------------------------------------
+# Train-mode BatchNorm2d with a closed-form custom backward.
+#
+# Twin of torch BatchNorm2d training statistics (the attention stack's BN,
+# reference networks.py:341-343 via bottleneck_transformer_pytorch): per-
+# channel mean/var over (B, H, W) — optionally restricted to the real rows
+# of a padded tail batch via ``mask`` — then y = (x - mean)*rsqrt(var+eps)*
+# scale + bias.  Forward keeps the TWO-PASS variance E[(x-mean)^2] (the
+# one-pass raw-moment form loses ~3 decimal digits to cancellation in f32;
+# measured in tools/flagship_grad_truth.py, see models/attention.py).
+#
+# The backward is the closed form (same move as the instance norm above):
+# XLA autodiff of the two-pass formula spends ~4 passes over (x, g) per BN
+# re-deriving the mean/var chains; the closed form
+#
+#     dx = scale*inv * (g - mj/n*sum(g) - xh * mj/n*sum(g*xh))
+#     dscale = sum(g*xh),   dbias = sum(g)
+#
+# (mj the per-row mask weight, sums over ALL rows — padded rows' outputs
+# also consume the masked statistics) needs one fused reduction pass plus
+# one elementwise pass.  Values/gradients are the same math in a different
+# association order (tests/test_norm.py compares against XLA autodiff).
+# ---------------------------------------------------------------------------
+
+
+def _bn_apply(x: Array, scale: Array, bias: Array, mean: Array, var: Array):
+    inv = jax.lax.rsqrt(var + _EPS)
+    y = (x - mean) * (inv * scale) + bias
+    return y, inv
+
+
+@jax.custom_vjp
+def _bn_train(x: Array, scale: Array, bias: Array):
+    mean = jnp.mean(x, axis=(0, 1, 2))
+    var = jnp.mean(jnp.square(x - mean), axis=(0, 1, 2))
+    y, _ = _bn_apply(x, scale, bias, mean, var)
+    return y, mean, var
+
+
+def _bn_train_fwd(x, scale, bias):
+    mean = jnp.mean(x, axis=(0, 1, 2))
+    var = jnp.mean(jnp.square(x - mean), axis=(0, 1, 2))
+    y, inv = _bn_apply(x, scale, bias, mean, var)
+    return (y, mean, var), (x, mean, inv, scale)
+
+
+def _bn_train_bwd(res, cts):
+    x, mean, inv, scale = res
+    gy, gmean, gvar = cts  # gmean/gvar: broadcast-zero in the train step
+    rn = 1.0 / (x.shape[0] * x.shape[1] * x.shape[2])
+    xh = (x - mean) * inv
+    sum_g = jnp.sum(gy, axis=(0, 1, 2))
+    sum_gxh = jnp.sum(gy * xh, axis=(0, 1, 2))
+    dx = (scale * inv) * (gy - rn * sum_g - xh * (rn * sum_gxh))
+    # mean/var-output cotangents (XLA folds these away when gmean/gvar are
+    # the literal zeros the non-differentiated running-stat update yields):
+    dx = dx + rn * gmean + (2.0 * rn) * gvar * (x - mean)
+    return dx, sum_gxh, sum_g
+
+
+_bn_train.defvjp(_bn_train_fwd, _bn_train_bwd)
+
+
+@jax.custom_vjp
+def _bn_train_masked(x: Array, scale: Array, bias: Array, mask: Array):
+    m = mask.reshape(-1, 1, 1, 1)
+    n = jnp.sum(m) * (x.shape[1] * x.shape[2])
+    mean = jnp.sum(x * m, axis=(0, 1, 2)) / n
+    var = jnp.sum(jnp.square(x - mean) * m, axis=(0, 1, 2)) / n
+    y, _ = _bn_apply(x, scale, bias, mean, var)
+    return y, mean, var
+
+
+def _bn_train_masked_fwd(x, scale, bias, mask):
+    m = mask.reshape(-1, 1, 1, 1)
+    n = jnp.sum(m) * (x.shape[1] * x.shape[2])
+    mean = jnp.sum(x * m, axis=(0, 1, 2)) / n
+    var = jnp.sum(jnp.square(x - mean) * m, axis=(0, 1, 2)) / n
+    y, inv = _bn_apply(x, scale, bias, mean, var)
+    return (y, mean, var), (x, mean, inv, scale, m, n)
+
+
+def _bn_train_masked_bwd(res, cts):
+    x, mean, inv, scale, m, n = res
+    gy, gmean, gvar = cts
+    rn = 1.0 / n
+    xh = (x - mean) * inv
+    # outputs on every row (masked or not) consume the masked statistics,
+    # so the stat-sensitivity sums run over ALL rows; only the per-element
+    # stat derivative carries the mask weight m_j.
+    sum_g = jnp.sum(gy, axis=(0, 1, 2))
+    sum_gxh = jnp.sum(gy * xh, axis=(0, 1, 2))
+    dx = (scale * inv) * (gy - (m * rn) * sum_g - xh * ((m * rn) * sum_gxh))
+    dx = dx + (m * rn) * gmean + (2.0 * rn) * gvar * (m * (x - mean))
+    # mask is 0/1 iteration bookkeeping, never differentiated
+    return dx, sum_gxh, sum_g, jnp.zeros((m.shape[0],), m.dtype)
+
+
+_bn_train_masked.defvjp(_bn_train_masked_fwd, _bn_train_masked_bwd)
+
+
+def batch_norm2d_train(
+    x: Array, scale: Array, bias: Array, mask: Optional[Array] = None
+) -> Tuple[Array, Array, Array]:
+    """Train-mode BatchNorm2d (NHWC, f32) with the closed-form backward.
+
+    Returns ``(y, batch_mean, batch_var)`` — the (biased) batch statistics
+    feed the caller's running-stat update.  ``mask`` (B,) 0/1 restricts the
+    statistics to real rows (padded tail batches; see models/attention.py).
+    """
+    if mask is None:
+        return _bn_train(x, scale, bias)
+    return _bn_train_masked(x, scale, bias, mask.astype(x.dtype))

@@ -53,3 +53,5 @@ def _scrub_perf_ab_env(monkeypatch):
     construct specific conv forms."""
     monkeypatch.delenv("MDCTGAN_UPSAMPLE_METHOD", raising=False)
     monkeypatch.delenv("MDCTGAN_HEAD_PHASES", raising=False)
+    monkeypatch.delenv("MDCTGAN_DILATED_VJP", raising=False)
+    monkeypatch.delenv("MDCTGAN_BN_VJP", raising=False)
