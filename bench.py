@@ -154,7 +154,14 @@ def main() -> None:
     print(f"[bench] MDCT fwd 64x32512: {mdct_ms:.3f} ms (device time)",
           file=sys.stderr)
 
-    # Secondary: fused Pallas MDCT+normalize kernel vs the XLA path.
+    # Secondary metrics also ride the final JSON line (the driver records
+    # only the LAST line, so round-over-round step/RTF tracking lives here).
+    extra = {}
+
+    # Secondary: fused Pallas MDCT+normalize kernel vs the XLA path.  These
+    # two A/B ratios gate `SpectralTransform.fused_min_batch`, so they ride
+    # the parsed JSON (a round-4 sign flip at batch 20 was visible only in
+    # this stderr tail — VERDICT r4 weak #5).
     try:
         from mdctgan_tpu.ops.pallas_mdct import is_tpu, mdct_spectro_fused
 
@@ -175,6 +182,8 @@ def main() -> None:
                     + 0.25,
                     xb, n_lo=8, n_hi=808,
                 )
+                extra[f"fused_b{bsz}_ms"] = round(fused_ms, 4)
+                extra[f"xla_b{bsz}_ms"] = round(unfused_ms, 4)
                 print(
                     f"[bench] MDCT+normalize {bsz}x32512: fused pallas "
                     f"{fused_ms:.3f} ms vs XLA {unfused_ms:.3f} ms "
@@ -183,10 +192,6 @@ def main() -> None:
                 )
     except Exception as e:
         print(f"[bench] pallas bench skipped: {e!r}", file=sys.stderr)
-
-    # Secondary metrics also ride the final JSON line (the driver records
-    # only the LAST line, so round-over-round step/RTF tracking lives here).
-    extra = {}
 
     # Secondary: flagship G+D train step (batch 20, bf16 — the BASELINE.json
     # config-4 geometry; the reference publishes no step time to compare).
@@ -272,6 +277,28 @@ def main() -> None:
             extra[f"train_step_busy_ms{suffix}"] = round(best_ms, 2)
             extra[f"train_step_scan_ms{suffix}"] = round(step_ms, 2)
             extra[f"samples_per_s_chip{suffix}"] = round(bsz * 1e3 / best_ms, 1)
+            if bsz == 20:
+                # MFU at the contract batch: XLA's own FLOP count for the
+                # compiled step over the measured busy time, vs the v5e bf16
+                # peak (197 TF/s/chip).  Tracked in the JSON so a FLOP or
+                # utilization regression shows in round-over-round diffs.
+                try:
+                    ca = step.lower(state, batch, key).compile().cost_analysis()
+                    ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+                    tflop = float(ca["flops"]) / 1e12
+                    if tflop > 0:
+                        extra["model_tflop_per_step"] = round(tflop, 3)
+                        extra["mfu_pct_v5e_bf16"] = round(
+                            tflop / (best_ms / 1e3) / 197.0 * 100.0, 1)
+                        print(
+                            f"[bench] step FLOPs {tflop:.2f} TF -> "
+                            f"{extra['mfu_pct_v5e_bf16']:.1f}% MFU "
+                            "(v5e bf16 peak 197 TF/s)",
+                            file=sys.stderr,
+                        )
+                except Exception as e:
+                    print(f"[bench] cost analysis unavailable: {e!r}",
+                          file=sys.stderr)
             print(
                 f"[bench] flagship G+D train step (batch {bsz}, bf16): "
                 f"{best_ms:.2f} ms = {bsz * 1e3 / best_ms:.0f} samples/s/chip "
