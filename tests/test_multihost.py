@@ -56,6 +56,20 @@ def test_two_process_dcn_train_step():
             for i, (p, out) in enumerate(zip(procs, outs))
         )
         procs, outs = _run_pair()  # contention flake: one retry
+        if all(p.returncode == 0 for p in procs):
+            # The retry passed — but a genuinely intermittent product
+            # regression (e.g. a racy cross-host collective) would look
+            # exactly like this.  Keep every swallowed first failure
+            # visible in the pytest warnings summary so a ~50%-flaky bug
+            # cannot pass silently forever.
+            import warnings
+
+            warnings.warn(
+                "multihost attempt 1 failed and the retry passed — "
+                "treating as host-contention flake. Attempt-1 report:\n"
+                + first_report,
+                RuntimeWarning,
+            )
     if any(p.returncode != 0 for p in procs):
         report = "\n".join(
             f"===== proc {i} rc={p.returncode} =====\n{out[-2500:]}"
