@@ -78,7 +78,8 @@ class Attention2D(nn.Module):
             dtype=self.dtype, name="to_qkv"
         )(x)
         # attention math itself stays in f32 (128-token map — negligible cost)
-        qkv = qkv.astype(jnp.float32)
+        if qkv.dtype != jnp.float64:  # f64 only under MDCTGAN_ATTN_F64
+            qkv = qkv.astype(jnp.float32)
         qkv = qkv.reshape(b, h * w, 3, heads, dh)
         q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))  # b,hd,n,d
         q = q * (dh ** -0.5)
@@ -126,7 +127,9 @@ class _BN2D(nn.Module):
         ra_var = self.variable(
             "batch_stats", "var", lambda s: jnp.ones(s, jnp.float32), (c,))
 
-        xf = x.astype(jnp.float32)
+        # statistics accumulate in f32 (f64 only under the MDCTGAN_ATTN_F64
+        # experiment — tools/flagship_grad_truth.py --attn-f64)
+        xf = x if x.dtype == jnp.float64 else x.astype(jnp.float32)
         if self.use_running_average:
             mean, var = ra_mean.value, ra_var.value
             mul = jax.lax.rsqrt(var + self.epsilon) * scale
@@ -250,6 +253,15 @@ class BottleStack(nn.Module):
     @nn.compact
     def __call__(self, x: Array, train: bool = True,
                  mask: Optional[Array] = None) -> Array:
+        # MDCTGAN_ATTN_F64=1 (trace-time env, experiment-only): run the whole
+        # stack's interior — convs, BN statistics, attention math — in f64 to
+        # test the claim that the flagship gradient excess over torch's own
+        # f32 noise (~2x block0 -> ~3.9x block2, tools/flagship_grad_truth.py)
+        # is f32 accumulation-order noise compounding with depth.  Needs
+        # jax_enable_x64; the boundary casts keep the rest of the graph f32.
+        f64 = os.environ.get("MDCTGAN_ATTN_F64", "0") == "1"
+        if f64:
+            x = x.astype(jnp.float64)
         for i in range(self.num_layers):
             x = BottleBlock(
                 self.dim_out,
@@ -257,7 +269,7 @@ class BottleStack(nn.Module):
                 self.proj_factor,
                 self.heads,
                 self.dim_head,
-                dtype=self.dtype,
+                dtype=jnp.float64 if f64 else self.dtype,
                 name=f"block{i}",
             )(x, train=train, mask=mask)
-        return x
+        return x.astype(jnp.float32) if f64 else x

@@ -144,7 +144,9 @@ def _bn_train_bwd(res, cts):
     # mean/var-output cotangents (XLA folds these away when gmean/gvar are
     # the literal zeros the non-differentiated running-stat update yields):
     dx = dx + rn * gmean + (2.0 * rn) * gvar * (x - mean)
-    return dx, sum_gxh, sum_g
+    # cotangent dtypes must match the primals (x may be f64 under the
+    # MDCTGAN_ATTN_F64 experiment while scale/bias params stay f32)
+    return dx, sum_gxh.astype(scale.dtype), sum_g.astype(scale.dtype)
 
 
 _bn_train.defvjp(_bn_train_fwd, _bn_train_bwd)
@@ -181,8 +183,10 @@ def _bn_train_masked_bwd(res, cts):
     sum_gxh = jnp.sum(gy * xh, axis=(0, 1, 2))
     dx = (scale * inv) * (gy - (m * rn) * sum_g - xh * ((m * rn) * sum_gxh))
     dx = dx + (m * rn) * gmean + (2.0 * rn) * gvar * (m * (x - mean))
-    # mask is 0/1 iteration bookkeeping, never differentiated
-    return dx, sum_gxh, sum_g, jnp.zeros((m.shape[0],), m.dtype)
+    # mask is 0/1 iteration bookkeeping, never differentiated; scale/bias
+    # cotangents cast to the primal dtype (see _bn_train_bwd)
+    return (dx, sum_gxh.astype(scale.dtype), sum_g.astype(scale.dtype),
+            jnp.zeros((m.shape[0],), m.dtype))
 
 
 _bn_train_masked.defvjp(_bn_train_masked_fwd, _bn_train_masked_bwd)

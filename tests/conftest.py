@@ -55,3 +55,4 @@ def _scrub_perf_ab_env(monkeypatch):
     monkeypatch.delenv("MDCTGAN_HEAD_PHASES", raising=False)
     monkeypatch.delenv("MDCTGAN_DILATED_VJP", raising=False)
     monkeypatch.delenv("MDCTGAN_BN_VJP", raising=False)
+    monkeypatch.delenv("MDCTGAN_ATTN_F64", raising=False)

@@ -53,7 +53,11 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# FORCE cpu, don't setdefault: this shell exports JAX_PLATFORMS=axon, so a
+# setdefault silently leaves the jax side on the remote TPU — whose default-
+# precision convs are NOT the f32 CPU numerics the parity test certifies.
+# MDCTGAN_TRUTH_PLATFORM overrides for a deliberate on-TPU run.
+os.environ["JAX_PLATFORMS"] = os.environ.get("MDCTGAN_TRUTH_PLATFORM", "cpu")
 from mdctgan_tpu.parallel.mesh import honor_jax_platforms_env  # noqa: E402
 
 honor_jax_platforms_env()
@@ -81,6 +85,17 @@ from mdctgan_tpu.train.step import build_train_step  # noqa: E402
 
 NUM_D, N_LAYERS, NDF, LAMBDA_FEAT = 3, 3, 64, 10.0
 BATCH = 8
+
+# --attn-f64: run the jax attention stack's interior in float64 (trace-time
+# env hook in models/attention.py BottleStack) to test whether the residual
+# err_j32/err_t32 excess — which grows with attention depth — is f32
+# accumulation-order noise.  If it is, err_j64attn should drop to <= err_t32
+# on the attention tensors (ratio ~1) with the non-attention tensors
+# unchanged; a localized defect would instead survive the precision bump.
+if "--attn-f64" in sys.argv:
+    os.environ["MDCTGAN_ATTN_F64"] = "1"
+    jax.config.update("jax_enable_x64", True)
+    print("[attn-f64] attention stack interior in float64", flush=True)
 
 t0 = time.time()
 
