@@ -151,6 +151,10 @@ def main() -> None:
 
     honor_jax_platforms_env()
     opt = TrainOptions().parse(save=False)
+    if getattr(opt, "matmul_precision", "default") != "default":
+        from mdctgan_tpu.parallel.mesh import set_default_matmul_precision
+
+        set_default_matmul_precision(opt.matmul_precision)
     if getattr(opt, "jax_cache_dir", ""):
         from mdctgan_tpu.parallel.mesh import enable_compilation_cache
 

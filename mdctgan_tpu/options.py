@@ -73,6 +73,17 @@ class BaseOptions:
                             " VJP (shipped default), 'gx' = custom grad-x +"
                             " autodiff grad-k, '0' = raw autodiff; empty ="
                             " default")
+        p.add_argument("--matmul_precision", type=str, default="default",
+                       choices=["default", "high", "highest"],
+                       help="JAX default matmul/conv precision for ops that "
+                            "do not pin one (the spectral transforms always "
+                            "run HIGHEST).  On TPU 'default' runs f32 convs "
+                            "as single-pass bf16 — measured ~4e-2 relative "
+                            "vs a float64 oracle through the flagship "
+                            "serving chain (fine for LSD-class metrics); "
+                            "'highest' buys back f32 exactness at ~3x conv "
+                            "cost (docs/PERFORMANCE.md 'Flagship inference "
+                            "parity')")
         p.add_argument("--local_rank", type=int, default=0)
         p.add_argument("--seed", type=int, default=42)
         p.add_argument("--fit_residual", action="store_true", default=False)

@@ -38,6 +38,16 @@ def honor_jax_platforms_env() -> None:
             pass
 
 
+def set_default_matmul_precision(precision: str) -> None:
+    """Apply ``--matmul_precision`` to every matmul/conv that does not pin
+    its own (the spectral-transform matmuls always run HIGHEST).  On TPU
+    'default' means single-pass bf16 inputs for f32 convs — measured ~4e-2
+    relative vs a float64 oracle through the flagship serving chain
+    (tools/flagship_infer_truth.py); 'highest' restores f32 exactness."""
+    if precision and precision != "default":
+        jax.config.update("jax_default_matmul_precision", precision)
+
+
 def enable_compilation_cache(path: str) -> None:
     """Persistent XLA compilation cache: the flagship train step takes
     minutes to compile; cached executables make restarts near-instant.

@@ -52,6 +52,11 @@ def main() -> None:
     opt = TrainOptions().parse()
     np.random.seed(opt.seed)
 
+    if getattr(opt, "matmul_precision", "default") != "default":
+        from mdctgan_tpu.parallel.mesh import set_default_matmul_precision
+
+        set_default_matmul_precision(opt.matmul_precision)
+
     if opt.multihost:
         from mdctgan_tpu.parallel.mesh import init_multihost
 

@@ -47,6 +47,27 @@ def test_param_key_map_type():
     assert _param_key_map("a:b,c:d") == {"a": "b", "c": "d"}
 
 
+def test_matmul_precision_flag(tmp_path):
+    """--matmul_precision reaches jax's default-precision config (the CLIs
+    call set_default_matmul_precision right after parse)."""
+    import jax
+
+    from mdctgan_tpu.options import TrainOptions
+    from mdctgan_tpu.parallel.mesh import set_default_matmul_precision
+
+    opt = TrainOptions().parse(
+        ["--checkpoints_dir", str(tmp_path), "--matmul_precision", "highest"],
+        save=False)
+    before = jax.config.jax_default_matmul_precision
+    try:
+        set_default_matmul_precision(opt.matmul_precision)
+        assert jax.config.jax_default_matmul_precision == "highest"
+        set_default_matmul_precision("default")  # no-op by contract
+        assert jax.config.jax_default_matmul_precision == "highest"
+    finally:
+        jax.config.update("jax_default_matmul_precision", before)
+
+
 def test_spectral_config_from_opt(tmp_path):
     from mdctgan_tpu.options import TrainOptions, spectral_config_from_opt
 
