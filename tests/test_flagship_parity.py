@@ -134,7 +134,13 @@ def test_flagship_geometry_forward_and_gradient_parity(rng):
     #     (ratio vs torch: median 1.14; worst 3.9x, concentrated in the
     #     deepest attention block — accumulation-order noise amplified with
     #     depth, not a localized defect: err_j32 tracks cross on every
-    #     tensor and forward parity at this geometry passes at 2e-3).
+    #     tensor and forward parity at this geometry passes at 2e-3.
+    #     PROVEN experimentally, not just inferred: rerunning the probe
+    #     with the attention interior in f64 (--attn-f64) collapses the
+    #     ratio to median 0.99 / max 1.64 and err_j32 max to 5.8e-3 —
+    #     torch's own noise class; a wiring defect would have survived
+    #     the precision bump.  docs/PERFORMANCE.md "Flagship gradient
+    #     parity bound").
     #   * measured max cross error: G 1.62e-2, D 2.6e-3.
     # G bound 2.5e-2 / D bound 5e-3 = measured max + ~50% headroom.  Wiring
     # errors (leaked/zeroed/misplaced-detach grads) are O(1)-O(10) normwise

@@ -92,6 +92,11 @@ BATCH = 8
 # accumulation-order noise.  If it is, err_j64attn should drop to <= err_t32
 # on the attention tensors (ratio ~1) with the non-attention tensors
 # unchanged; a localized defect would instead survive the precision bump.
+# MEASURED (round 5, seed 0): it is noise — G ratio collapses from
+# median 1.14 / max 3.94 (f32 baseline) to median 0.99 / max 1.64;
+# err_j32 max 1.59e-2 -> 5.83e-3 (torch's own f32 class is 4.7e-3); the
+# worst-12 list flips from attention tensors to ordinary down-convs; D is
+# unchanged (no attention).  docs/PERFORMANCE.md "Flagship gradient parity".
 if "--attn-f64" in sys.argv:
     os.environ["MDCTGAN_ATTN_F64"] = "1"
     jax.config.update("jax_enable_x64", True)
@@ -216,8 +221,13 @@ def report(label, t32, t64, j32):
           f"{np.percentile(cross, 99):.2e} max {cross.max():.2e}")
     print(f"err_j32: median {np.median(ej):.2e} max {ej.max():.2e}")
     print(f"err_t32: median {np.median(et):.2e} max {et.max():.2e}")
-    print(f"ratio err_j32/err_t32: median {np.median(ej / et):.2f} "
-          f"max {(ej / et).max():.2f}")
+    # ratio only over tensors where torch itself shows measurable f32 noise
+    # (D's scale0 convs sit at ~5e-6 truth-relative — a ratio there divides
+    # dust by dust, and an exactly-converged et would print inf)
+    live = et > 1e-5
+    print(f"ratio err_j32/err_t32: median {np.median(ej[live] / et[live]):.2f} "
+          f"max {(ej[live] / et[live]).max():.2f} "
+          f"({int(live.sum())}/{len(rows)} tensors above torch-noise 1e-5)")
     print("worst 12 by cross (cross, err_j32, err_t32, name):")
     for r in rows[:12]:
         print(f"  {r[0]:.3e}  {r[1]:.3e}  {r[2]:.3e}  {r[3]}")
