@@ -105,7 +105,7 @@ def main() -> None:
     d_st = float(np.abs(ours - theirs).max())
 
     print(f"[infer-truth] normalized-domain max |dsr|: {d_sr:.3e}  "
-          f"(test bound 5e-4)", flush=True)
+          f"(test bound 1.2e-3)", flush=True)
     print(f"[infer-truth] waveform max |d|: {d_wav:.3e} = "
           f"{d_wav / scale:.3e} of oracle scale {scale:.3f}  "
           f"(test bound 2e-3 rel)", flush=True)
