@@ -136,6 +136,31 @@ class CheckpointManager:
                 item={"state": fields}, partial_restore=True
             ),
         )
+        # partial_restore fills the INTERSECTION of template and checkpoint;
+        # a template leaf absent from the checkpoint comes back untouched —
+        # for the abstract (eval_shape) templates inference uses, that is a
+        # raw ShapeDtypeStruct that would crash much later inside jit with an
+        # opaque "not a valid JAX type".  Fail HERE with the param names: the
+        # only way this happens is a model built with different architecture
+        # flags than the training run.
+        missing = [
+            jax.tree_util.keystr(path)
+            for path, leaf in jax.tree_util.tree_leaves_with_path(
+                out["state"]
+            )
+            if isinstance(leaf, jax.ShapeDtypeStruct)
+        ]
+        if missing:
+            shown = ", ".join(missing[:6])
+            more = f" (+{len(missing) - 6} more)" if len(missing) > 6 else ""
+            raise ValueError(
+                f"checkpoint {self.directory} step {step} holds no value for "
+                f"{len(missing)} requested parameter(s): {shown}{more} — the "
+                f"constructed model's architecture does not match the one "
+                f"that wrote this checkpoint (compare --netG/--ngf/"
+                f"--downsample_type/--upsample_type/--n_blocks_* against the "
+                f"training run's opt.txt)"
+            )
         return out["state"]
 
     def peek_cursor(

@@ -594,6 +594,39 @@ def test_which_epoch_selects_non_latest(tmp_path):
     mgr2.close()
 
 
+def test_restore_fields_names_architecture_mismatch(tmp_path):
+    """A weights-only restore whose abstract template asks for parameters
+    the checkpoint never stored (model built with different architecture
+    flags than the training run) must fail IMMEDIATELY with the offending
+    parameter paths — not hand back raw ShapeDtypeStruct leaves that crash
+    much later inside jit with an opaque 'not a valid JAX type' (regression:
+    a serve run with --downsample_type conv against a resconv-trained
+    orbax checkpoint did exactly that)."""
+    import jax
+    import jax.numpy as jnp
+    import pytest as _pytest
+
+    from mdctgan_tpu.train.checkpoint import CheckpointManager
+
+    opt, cfg, state = _tiny_train_state(tmp_path, "mm")
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save(state, epoch=1, epoch_iter=0, epoch_label=1)
+    mgr.wait()
+    mgr.close()
+
+    tmpl = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.result_type(x)),
+        dict(state.g_params),
+    )
+    tmpl["phantom_block"] = {
+        "conv": {"bias": jax.ShapeDtypeStruct((7,), jnp.float32)}
+    }
+    mgr2 = CheckpointManager(str(tmp_path / "ckpt"))
+    with _pytest.raises(ValueError, match="phantom_block.*opt.txt"):
+        mgr2.restore_fields({"g_params": tmpl})
+    mgr2.close()
+
+
 def test_restore_converts_legacy_batch_cursor(tmp_path):
     """Checkpoints saved before the sample-unit cursor (no "units" field,
     epoch_iter in batches) must resume at the right position: restore()
