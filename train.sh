@@ -4,9 +4,10 @@
 # 4 resblocks + 3 attention blocks (6 heads x 128), fit_residual,
 # interpolate-up + resconv-down, num_D 3, 60+60 epochs.
 #
-# Throughput note (docs/PERFORMANCE.md): on a v5e chip --batchSize 40 raises
-# per-sample throughput ~21% over batch 20 (trace-verified, memory allows it
-# comfortably); batch 20 is kept here for reference-protocol parity.
+# Throughput note (docs/PERFORMANCE.md): on a v5e chip `--batchSize 40
+# --lr 2.1e-4` raises per-sample throughput ~19% at reference-class LSD
+# (full-schedule convergence + serve loop validated; sqrt-scale the lr with
+# the batch); batch 20 is kept here for reference-protocol parity.
 # Perf-form selectors --upsample_method/--head_phases default to the
 # measured-fastest (dilated + 4x8) — only override to re-A/B on new hardware.
 
